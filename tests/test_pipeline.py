@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests with tiny VAE + DiT (CPU).
+
+Exercises the full conditional sampling path: VAE condition encodes, latent
+mask prep, CFG denoise loop (every scheduler family), VAE decode.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
+from trajectorycrafter_tpu.pipelines import TrajCrafterPipeline
+from trajectorycrafter_tpu.schedulers import (
+    CogVideoXDPMScheduler,
+    DDIMScheduler,
+    EulerDiscreteScheduler,
+    PNDMScheduler,
+)
+
+LC = 4  # tiny latent channels
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    vae = AutoencoderKLCogVideoX(
+        latent_channels=LC, block_out_channels=(8, 16, 16, 32),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    vx = jnp.zeros((1, 5, 32, 48, 3), jnp.float32)
+    vae_params = vae.init(jax.random.PRNGKey(0), vx)["params"]
+
+    dit = CrossTransformer3DModel(
+        num_attention_heads=2, attention_head_dim=16,
+        in_channels=2 * LC + 1, out_channels=LC,
+        time_embed_dim=16, text_embed_dim=32, num_layers=2,
+        sample_width=12, sample_height=8, sample_frames=9,
+        max_text_seq_length=7, cross_attn_dim_head=8, cross_attn_num_heads=4,
+        use_rotary_positional_embeddings=True, attention_impl="xla",
+        dtype=jnp.float32,
+    )
+    b, f, h, w = 1, 3, 4, 6
+    hp = dit.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((b, f, h, w, LC)), jnp.zeros((b, 7, 32)), jnp.zeros((b,)),
+        jnp.zeros((b, f, h, w, LC + 1)), jnp.zeros((b, 1, h, w, LC)),
+        image_rotary_emb=(jnp.zeros((f * 2 * 3, 16)), jnp.zeros((f * 2 * 3, 16))),
+    )["params"]
+
+    sch = DDIMScheduler(prediction_type="v_prediction")
+    return TrajCrafterPipeline(
+        vae=vae, vae_params=vae_params, transformer=dit, transformer_params=hp,
+        scheduler=sch, dtype=jnp.float32,
+    )
+
+
+def _inputs(rng):
+    video = jnp.asarray(rng.uniform(0, 1, (1, 9, 32, 48, 3)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.uniform(size=(1, 9, 32, 48, 1)) > 0.7).astype(np.float32) * 255.0
+    )
+    reference = jnp.asarray(rng.uniform(0, 1, (1, 2, 32, 48, 3)).astype(np.float32))
+    pe = jnp.asarray(rng.standard_normal((1, 7, 32)).astype(np.float32))
+    ne = jnp.zeros_like(pe)
+    return video, mask, reference, pe, ne
+
+
+def test_full_pipeline_ddim(tiny_pipeline, rng):
+    video, mask, reference, pe, ne = _inputs(rng)
+    out = tiny_pipeline(
+        pe, ne, video, mask, reference,
+        num_inference_steps=3, guidance_scale=6.0, key=jax.random.PRNGKey(43),
+    )
+    assert out.shape == (1, 9, 32, 48, 3)
+    o = np.asarray(out)
+    assert np.all(np.isfinite(o)) and o.min() >= 0.0 and o.max() <= 1.0
+
+
+def test_pipeline_no_cfg(tiny_pipeline, rng):
+    video, mask, reference, pe, ne = _inputs(rng)
+    out = tiny_pipeline(
+        pe, ne, video, mask, reference,
+        num_inference_steps=2, guidance_scale=1.0, key=jax.random.PRNGKey(0),
+    )
+    assert out.shape == (1, 9, 32, 48, 3)
+
+
+def test_pipeline_seed_determinism(tiny_pipeline, rng):
+    video, mask, reference, pe, ne = _inputs(rng)
+    a = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
+                      key=jax.random.PRNGKey(7))
+    b = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
+                      key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
+                      key=jax.random.PRNGKey(8))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+
+@pytest.mark.parametrize(
+    "sch_cls,kw",
+    [
+        (CogVideoXDPMScheduler, {}),
+        (PNDMScheduler, {"prediction_type": "v_prediction"}),
+        (EulerDiscreteScheduler, {"timestep_spacing": "trailing"}),
+    ],
+)
+def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
+    import dataclasses
+
+    pipe = dataclasses.replace(tiny_pipeline, scheduler=sch_cls(**kw))
+    video, mask, reference, pe, ne = _inputs(rng)
+    out = pipe(pe, ne, video, mask, reference, num_inference_steps=2,
+               key=jax.random.PRNGKey(0))
+    assert out.shape == (1, 9, 32, 48, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_latent_output(tiny_pipeline, rng):
+    video, mask, reference, pe, ne = _inputs(rng)
+    lat = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
+                        key=jax.random.PRNGKey(0), output_type="latent")
+    assert lat.shape == (1, 3, 4, 6, LC)

@@ -1,0 +1,316 @@
+"""CrossTransformer3D: dual-stream CogVideoX DiT with reference-view
+Perceiver cross-attention, in Flax.
+
+TPU-native rebuild of /root/reference/models/crosstransformer3d.py:
+  * 42x CogVideoX blocks (AdaLN-Zero, joint text+video self-attention with
+    per-head QK layernorm and 3D RoPE on the video tokens, gated FF), with a
+    PerceiverCrossAttention over reference-view tokens every
+    ``cross_attn_interval`` blocks (reference :831-838);
+  * patch embedding of the 33-channel (16 noise + 1 mask + 16 masked-video)
+    latent input (reference :735-737) + text projection;
+  * channel-last (B, F, H, W, C) latents, tokens (B, S, D);
+  * bf16 matmuls with fp32 softmax/layernorm; attention runs through the
+    Pallas flash kernel on TPU (ops/attention.py);
+  * positional tables (3D sincos resize / 3D RoPE) precomputed on host per
+    static shape -- no device-side trilinear resize per call
+    (reference recomputes it every forward, :753-784).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajectorycrafter_tpu.ops.attention import multi_head_attention
+from trajectorycrafter_tpu.ops.posemb import resized_pos_embedding, timestep_embedding
+from trajectorycrafter_tpu.ops.rope import apply_rotary_emb
+
+
+class FeedForward(nn.Module):
+    """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate')."""
+
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="proj_in")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_out")(h)
+
+
+class LayerNormZero(nn.Module):
+    """CogVideoX AdaLN-Zero: temb -> 6 modulation vectors; one shared LN
+    modulates both streams (reference uses diffusers CogVideoXLayerNormZero)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder, temb):
+        mod = nn.Dense(6 * self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="linear")(nn.silu(temb))
+        shift, scale, gate, enc_shift, enc_scale, enc_gate = jnp.split(mod, 6, axis=-1)
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=self.param_dtype, name="norm")
+        h = norm(hidden.astype(jnp.float32)).astype(hidden.dtype)
+        e = norm(encoder.astype(jnp.float32)).astype(encoder.dtype)
+        h = h * (1 + scale[:, None]) + shift[:, None]
+        e = e * (1 + enc_scale[:, None]) + enc_shift[:, None]
+        return h, e, gate[:, None], enc_gate[:, None]
+
+
+class JointAttention(nn.Module):
+    """Self-attention over [text ; video] tokens with QK layernorm and RoPE
+    applied to the video part only (diffusers CogVideoXAttnProcessor2_0)."""
+
+    heads: int
+    head_dim: int
+    qk_norm: bool = True
+    attention_impl: str = "auto"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder, rope: Optional[Tuple]):
+        text_len = encoder.shape[1]
+        x = jnp.concatenate([encoder, hidden], axis=1)
+        b, s, _ = x.shape
+        inner = self.heads * self.head_dim
+        dense = lambda name: nn.Dense(inner, dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        q = dense("to_q")(x).reshape(b, s, self.heads, self.head_dim)
+        k = dense("to_k")(x).reshape(b, s, self.heads, self.head_dim)
+        v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
+
+        if self.qk_norm:
+            qn = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              param_dtype=self.param_dtype, name="norm_q")
+            kn = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              param_dtype=self.param_dtype, name="norm_k")
+            q = qn(q.astype(jnp.float32)).astype(self.dtype)
+            k = kn(k.astype(jnp.float32)).astype(self.dtype)
+
+        if rope is not None:
+            cos, sin = rope
+            # rotate only the video tokens; heads axis broadcasts over (S, D)
+            q_img = apply_rotary_emb(jnp.swapaxes(q[:, text_len:], 1, 2), cos, sin)
+            k_img = apply_rotary_emb(jnp.swapaxes(k[:, text_len:], 1, 2), cos, sin)
+            q = jnp.concatenate([q[:, :text_len], jnp.swapaxes(q_img, 1, 2)], axis=1)
+            k = jnp.concatenate([k[:, :text_len], jnp.swapaxes(k_img, 1, 2)], axis=1)
+
+        out = multi_head_attention(q, k, v, impl=self.attention_impl)
+        out = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="to_out")(out)
+        return out[:, text_len:], out[:, :text_len]
+
+
+class CogVideoXBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+    attention_impl: str = "auto"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder, temb, rope):
+        norm1 = LayerNormZero(self.dim, self.dtype, self.param_dtype, name="norm1")
+        h, e, gate, enc_gate = norm1(hidden, encoder, temb)
+        attn_h, attn_e = JointAttention(
+            self.heads, self.head_dim, attention_impl=self.attention_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1")(h, e, rope)
+        hidden = hidden + gate * attn_h
+        encoder = encoder + enc_gate * attn_e
+
+        norm2 = LayerNormZero(self.dim, self.dtype, self.param_dtype, name="norm2")
+        h, e, gate_ff, enc_gate_ff = norm2(hidden, encoder, temb)
+        ff_out = FeedForward(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                             name="ff")(jnp.concatenate([e, h], axis=1))
+        text_len = encoder.shape[1]
+        hidden = hidden + gate_ff * ff_out[:, text_len:]
+        encoder = encoder + enc_gate_ff * ff_out[:, :text_len]
+        return hidden, encoder
+
+
+class PerceiverCrossAttention(nn.Module):
+    """Video tokens query reference-view tokens (reference :287-398).
+
+    Dual-sqrt scaling ((q*s)(k*s)^T with s = dim_head^-1/4) and softmax in
+    fp32, matching the reference autocast semantics.
+    """
+
+    dim: int = 3072
+    head_dim: int = 128
+    heads: int = 16
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, latents):
+        # x: (B, S_ref, dim) reference tokens; latents: (B, S_vid, dim)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm1")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        lat = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           param_dtype=self.param_dtype, name="norm2")(
+            latents.astype(jnp.float32)).astype(self.dtype)
+        b, s_vid, _ = lat.shape
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_q")(lat)
+        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="to_kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(b, s_vid, self.heads, self.head_dim)
+        k = k.reshape(b, -1, self.heads, self.head_dim)
+        v = v.reshape(b, -1, self.heads, self.head_dim)
+        # ref tokens are few (~thousands); XLA attention is fine and exact
+        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5, impl="xla")
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="to_out")(out)
+
+
+class CrossTransformer3DModel(nn.Module):
+    """Deployed TrajectoryCrafter scale by default: 42 blocks, dim 3072."""
+
+    num_attention_heads: int = 48
+    attention_head_dim: int = 64
+    in_channels: int = 33
+    out_channels: int = 16
+    time_embed_dim: int = 512
+    text_embed_dim: int = 4096
+    num_layers: int = 42
+    sample_width: int = 90
+    sample_height: int = 60
+    sample_frames: int = 49
+    patch_size: int = 2
+    temporal_compression_ratio: int = 4
+    max_text_seq_length: int = 226
+    spatial_interpolation_scale: float = 1.875
+    temporal_interpolation_scale: float = 1.0
+    use_rotary_positional_embeddings: bool = True
+    add_noise_in_inpaint_model: bool = True
+    is_train_cross: bool = True
+    cross_attn_interval: int = 2
+    cross_attn_dim_head: int = 128
+    cross_attn_num_heads: int = 16
+    attention_impl: str = "auto"
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @property
+    def inner_dim(self):
+        return self.num_attention_heads * self.attention_head_dim
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, F, H, W, 16) noisy latents
+        encoder_hidden_states: jnp.ndarray,  # (B, 226, 4096) text
+        timestep: jnp.ndarray,  # (B,)
+        inpaint_latents: Optional[jnp.ndarray] = None,  # (B, F, H, W, 17)
+        cross_latents: Optional[jnp.ndarray] = None,  # (B, F_ref, H, W, 16)
+        image_rotary_emb: Optional[Tuple] = None,  # (cos, sin) host tables
+    ) -> jnp.ndarray:
+        b, f, h, w, _ = hidden_states.shape
+        p = self.patch_size
+        dim = self.inner_dim
+
+        # 1. time embedding (fp32 sinusoid -> bf16 MLP, reference :724-732)
+        t_freq = timestep_embedding(timestep, dim).astype(self.dtype)
+        temb = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="time_embedding_linear_1")(t_freq)
+        temb = nn.silu(temb)
+        temb = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="time_embedding_linear_2")(temb)
+
+        # 2. patch embedding of [noise ; inpaint] (reference :735-737)
+        if inpaint_latents is not None:
+            hidden_states = jnp.concatenate([hidden_states, inpaint_latents], axis=-1)
+        x = hidden_states.reshape(b * f, h, w, hidden_states.shape[-1])
+        x = nn.Conv(dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="patch_embed_proj")(x)
+        video_tokens = x.reshape(b, f * (h // p) * (w // p), dim)
+        text_tokens = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="patch_embed_text_proj")(encoder_hidden_states)
+
+        # reference-view branch
+        cross_tokens = None
+        if self.is_train_cross and cross_latents is not None:
+            fr = cross_latents.shape[1]
+            cx = cross_latents.reshape(b * fr, h, w, cross_latents.shape[-1])
+            cx = nn.Conv(dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
+                         dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="ref_patch_embed_proj")(cx)
+            cross_tokens = cx.reshape(b, fr * (h // p) * (w // p), dim)
+
+        # 3. positional embedding (non-RoPE checkpoints; reference :751-784)
+        text_len = text_tokens.shape[1]
+        if not self.use_rotary_positional_embeddings:
+            table = resized_pos_embedding(
+                dim,
+                (self.sample_frames - 1) // self.temporal_compression_ratio + 1,
+                self.sample_height // p,
+                self.sample_width // p,
+                f, h // p, w // p,
+                self.spatial_interpolation_scale,
+                self.temporal_interpolation_scale,
+            )
+            video_tokens = video_tokens + jnp.asarray(table, self.dtype)[None]
+
+        hidden, encoder = video_tokens, text_tokens
+
+        # 4. transformer blocks with interleaved Perceiver cross-attention
+        num_cross = self.num_layers // self.cross_attn_interval if self.is_train_cross else 0
+        block_cls = CogVideoXBlock
+        if self.remat:
+            block_cls = nn.remat(CogVideoXBlock, static_argnums=())
+        ca_idx = 0
+        for i in range(self.num_layers):
+            hidden, encoder = block_cls(
+                dim, self.num_attention_heads, self.attention_head_dim,
+                attention_impl=self.attention_impl, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"blocks_{i}",
+            )(hidden, encoder, temb, image_rotary_emb)
+            if cross_tokens is not None and i % self.cross_attn_interval == 0:
+                hidden = hidden + PerceiverCrossAttention(
+                    dim, self.cross_attn_dim_head, self.cross_attn_num_heads,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"perceiver_cross_attention_{ca_idx}",
+                )(cross_tokens, hidden)
+                ca_idx += 1
+
+        # 5. final norm + AdaLN + projection (reference :848-857)
+        joint = jnp.concatenate([encoder, hidden], axis=1)
+        joint = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             param_dtype=self.param_dtype, name="norm_final")(
+            joint.astype(jnp.float32)).astype(self.dtype)
+        hidden = joint[:, text_len:]
+
+        mod = nn.Dense(2 * dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="norm_out_linear")(nn.silu(temb))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        hidden = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                              param_dtype=self.param_dtype, name="norm_out_norm")(
+            hidden.astype(jnp.float32)).astype(self.dtype)
+        hidden = hidden * (1 + scale[:, None]) + shift[:, None]
+        out = nn.Dense(p * p * self.out_channels, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="proj_out")(hidden)
+
+        # 6. unpatchify -> (B, F, H, W, out_channels), matching the reference's
+        #    [c][i][j] ordering of the projection units (reference :863-867)
+        out = out.reshape(b, f, h // p, w // p, self.out_channels, p, p)
+        out = out.transpose(0, 1, 2, 5, 3, 6, 4)  # (b, f, h/p, p, w/p, p, c)
+        return out.reshape(b, f, h, w, self.out_channels)

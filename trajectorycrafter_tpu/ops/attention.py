@@ -1,0 +1,85 @@
+"""Attention dispatch: XLA reference path + Pallas flash-attention path.
+
+The DiT's joint text+video self-attention runs over ~13.3k tokens at 384x672
+(226 text + 13x24x42 video; reference crosstransformer3d.py:496-506).  An
+(S, S) score matrix in fp32 is ~34 GB across 48 heads -- far beyond VMEM/HBM
+comfort -- so the production path is the tiled Pallas flash kernel
+(jax.experimental.pallas.ops.tpu.flash_attention); the XLA einsum path is the
+numerically transparent reference used by tests and tiny configs.
+
+Sequences are padded to the kernel's block multiple; padded key/value tokens
+are masked via SegmentIds so results are identical to the unpadded einsum.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, scale):
+    """(B, H, S, D) einsum attention with fp32 softmax."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(scores * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def _pad_to(x, multiple, axis):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+def _flash_attention(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, s, d = q.shape
+    block = 512 if s >= 512 else 128
+    qp, s_orig = _pad_to(q, block, axis=2)
+    kp, _ = _pad_to(k, block, axis=2)
+    vp, _ = _pad_to(v, block, axis=2)
+    sp = qp.shape[2]
+    if sp != s_orig:
+        # valid tokens segment 1, padding segment 0 (pads only attend pads)
+        ids = (jnp.arange(sp) < s_orig).astype(jnp.int32)
+        seg = SegmentIds(q=jnp.broadcast_to(ids, (b, sp)), kv=jnp.broadcast_to(ids, (b, sp)))
+    else:
+        seg = None
+    sizes = BlockSizes(
+        block_q=min(block, sp), block_k_major=min(block, sp),
+        block_k=min(block, sp), block_b=1,
+    )
+    out = flash_attention(qp, kp, vp, segment_ids=seg, sm_scale=scale, block_sizes=sizes)
+    return out[:, :, :s_orig]
+
+
+def multi_head_attention(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Full (non-causal) MHA.  Returns (B, S, H*D)."""
+    b, s, h, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # (B, H, S, D)
+    if impl == "auto":
+        on_tpu = jax.devices()[0].platform != "cpu"
+        impl = "flash" if (on_tpu and s >= 1024) else "xla"
+    if impl == "flash":
+        out = _flash_attention(qt, kt, vt, scale)
+    else:
+        out = _xla_attention(qt, kt, vt, scale)
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d)

@@ -1,0 +1,108 @@
+"""3D rotary position embeddings (CogVideoX flavour).
+
+Reproduces the published get_3d_rotary_pos_embed used by the reference
+pipeline (models/pipeline_trajectorycrafter.py:616-649): head channels split
+t : h : w = 1/4 : 3/8 : 3/8, interleaved-pair rotation, cos/sin tables
+repeat-interleaved to full head dim.  Tables are built on host once per
+(grid, frames) and fed to the jit program as constants.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_resize_crop_region_for_grid(src, tgt_width, tgt_height):
+    """Aspect-preserving crop of the base grid (reference pipeline:43-58)."""
+    h, w = src
+    r = h / w
+    if r > (tgt_height / tgt_width):
+        resize_height = tgt_height
+        resize_width = int(round(tgt_height / h * w))
+    else:
+        resize_width = tgt_width
+        resize_height = int(round(tgt_width / w * h))
+    crop_top = int(round((tgt_height - resize_height) / 2.0))
+    crop_left = int(round((tgt_width - resize_width) / 2.0))
+    return (crop_top, crop_left), (crop_top + resize_height, crop_left + resize_width)
+
+
+def _rotary_1d(dim: int, pos: np.ndarray, theta: float = 10000.0):
+    """-> (cos, sin) each (len(pos), dim), pairs repeat-interleaved."""
+    freqs = 1.0 / theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim)
+    out = np.outer(pos, freqs)  # (n, dim/2)
+    cos = np.repeat(np.cos(out), 2, axis=1)
+    sin = np.repeat(np.sin(out), 2, axis=1)
+    return cos, sin
+
+
+@lru_cache(maxsize=16)
+def get_3d_rotary_pos_embed(
+    embed_dim: int,  # attention head dim
+    crops_coords: Tuple[Tuple[int, int], Tuple[int, int]],
+    grid_size: Tuple[int, int],  # (h, w)
+    temporal_size: int,
+    theta: float = 10000.0,
+):
+    """-> (cos, sin) each (T*H*W, embed_dim) float32."""
+    start, stop = crops_coords
+    grid_h_n, grid_w_n = grid_size
+    grid_h = np.linspace(start[0], stop[0], grid_h_n, endpoint=False, dtype=np.float32)
+    grid_w = np.linspace(start[1], stop[1], grid_w_n, endpoint=False, dtype=np.float32)
+    grid_t = np.arange(temporal_size, dtype=np.float32)
+
+    dim_t = embed_dim // 4
+    dim_h = embed_dim // 8 * 3
+    dim_w = embed_dim // 8 * 3
+    t_cos, t_sin = _rotary_1d(dim_t, grid_t, theta)
+    h_cos, h_sin = _rotary_1d(dim_h, grid_h, theta)
+    w_cos, w_sin = _rotary_1d(dim_w, grid_w, theta)
+
+    def combine(ft, fh, fw):
+        ft = np.broadcast_to(ft[:, None, None, :], (temporal_size, grid_h_n, grid_w_n, dim_t))
+        fh = np.broadcast_to(fh[None, :, None, :], (temporal_size, grid_h_n, grid_w_n, dim_h))
+        fw = np.broadcast_to(fw[None, None, :, :], (temporal_size, grid_h_n, grid_w_n, dim_w))
+        return np.concatenate([ft, fh, fw], axis=-1).reshape(-1, embed_dim)
+
+    return (
+        combine(t_cos, h_cos, w_cos).astype(np.float32),
+        combine(t_sin, h_sin, w_sin).astype(np.float32),
+    )
+
+
+def apply_rotary_emb(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate interleaved pairs: x shape (..., S, D), cos/sin (S, D).
+
+    Matches diffusers apply_rotary_emb(use_real=True, use_real_unbind_dim=-1):
+    pairs (x0, x1) -> (x0 cos - x1 sin, x1 cos + x0 sin).
+    """
+    x_f = x.astype(jnp.float32)
+    x_pairs = x_f.reshape(*x.shape[:-1], -1, 2)
+    x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1).reshape(x.shape)
+    out = x_f * cos + x_rot * sin
+    return out.astype(x.dtype)
+
+
+def rope_for_sample(
+    attention_head_dim: int,
+    height: int,  # pixel height
+    width: int,
+    num_latent_frames: int,
+    vae_scale_factor_spatial: int = 8,
+    patch_size: int = 2,
+    base_height: int = 480,
+    base_width: int = 720,
+):
+    """RoPE tables for a sample resolution (reference pipeline:616-649)."""
+    grid_h = height // (vae_scale_factor_spatial * patch_size)
+    grid_w = width // (vae_scale_factor_spatial * patch_size)
+    base_h = base_height // (vae_scale_factor_spatial * patch_size)
+    base_w = base_width // (vae_scale_factor_spatial * patch_size)
+    crops = get_resize_crop_region_for_grid((grid_h, grid_w), base_w, base_h)
+    return get_3d_rotary_pos_embed(
+        attention_head_dim, crops, (grid_h, grid_w), num_latent_frames
+    )

@@ -1,0 +1,254 @@
+"""End-to-end conditional video-diffusion pipeline (jit-compiled).
+
+TPU-native redesign of the reference TrajCrafter_Pipeline
+(/root/reference/models/pipeline_trajectorycrafter.py:674-1216):
+
+  * condition prep (VAE encodes of reference clip + masked warped video,
+    latent-space mask resize, noise aug) is one jit program;
+  * the 50-step CFG denoise loop is a single ``lax.fori_loop`` -- the
+    CFG pair rides the batch axis (uncond/cond stacked), so a 2-way data
+    mesh axis shards it across chips with zero code change;
+  * VAE decode streams through ``lax.scan`` chunks (models/vae.py).
+
+Inputs are channel-last: video (B, F, H, W, 3) in [0, 1], mask_video
+(B, F, H, W, 1) in [0, 255] where 255 marks holes (reference demo.py:120),
+reference (B, F_ref, H, W, 3) in [0, 1].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+from trajectorycrafter_tpu.models.vae import (
+    AutoencoderKLCogVideoX,
+    posterior_mode,
+    sample_posterior,
+    vae_decode,
+    vae_encode,
+)
+from trajectorycrafter_tpu.ops.resize import resize_linear, resize_mask_latent
+from trajectorycrafter_tpu.ops.rope import rope_for_sample
+from trajectorycrafter_tpu.schedulers.ddim import DDIMScheduler
+from trajectorycrafter_tpu.schedulers.dpm import DPMSolverMultistepScheduler
+from trajectorycrafter_tpu.schedulers.euler import EulerDiscreteScheduler
+from trajectorycrafter_tpu.schedulers.pndm import PNDMScheduler
+
+
+@dataclass
+class TrajCrafterPipeline:
+    """Bundles models + params + scheduler; all heavy stages are jitted."""
+
+    vae: AutoencoderKLCogVideoX
+    vae_params: Any
+    transformer: CrossTransformer3DModel
+    transformer_params: Any
+    scheduler: Any  # one of the schedulers module classes
+    vae_scale_factor_spatial: int = 8
+    vae_scale_factor_temporal: int = 4
+    dtype: Any = jnp.bfloat16
+
+    # ------------------------------------------------------------------
+    def prepare_conditions(
+        self,
+        video: jnp.ndarray,  # (B, F, H, W, 3) warped render in [0, 1]
+        mask_video: jnp.ndarray,  # (B, F, H, W, 1) 255 = hole
+        reference: jnp.ndarray,  # (B, F_ref, H, W, 3) in [0, 1]
+        key: jax.Array,
+        noise_aug_strength: float = 0.0563,
+    ):
+        """-> (inpaint_latents (B,F',h,w,17), ref_latents (B,Fr',h,w,16))."""
+        return _prepare_conditions_jit(
+            self.vae, self.vae_params, video, mask_video, reference, key,
+            noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
+            self.vae.scaling_factor, self.dtype,
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt_embeds: jnp.ndarray,  # (B, 226, 4096)
+        negative_prompt_embeds: jnp.ndarray,  # (B, 226, 4096)
+        video: jnp.ndarray,
+        mask_video: jnp.ndarray,
+        reference: jnp.ndarray,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        key: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
+        noise_aug_strength: float = 0.0563,
+        output_type: str = "np",
+    ):
+        """Full sampling run; returns (B, F, H, W, 3) video in [0, 1]."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key_cond, key_noise = jax.random.split(key)
+
+        b, f, h, w, _ = video.shape
+        f_lat = (f - 1) // self.vae_scale_factor_temporal + 1
+        h_lat = h // self.vae_scale_factor_spatial
+        w_lat = w // self.vae_scale_factor_spatial
+
+        inpaint_latents, ref_latents = self.prepare_conditions(
+            video, mask_video, reference, key_cond, noise_aug_strength
+        )
+
+        if latents is None:
+            shape = (b, f_lat, h_lat, w_lat, self.vae.latent_channels)
+            latents = jax.random.normal(key_noise, shape, jnp.float32)
+
+        do_cfg = guidance_scale > 1.0
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+
+        rope = None
+        if self.transformer.use_rotary_positional_embeddings:
+            cos, sin = rope_for_sample(
+                self.transformer.attention_head_dim, h, w, f_lat,
+                self.vae_scale_factor_spatial, self.transformer.patch_size,
+            )
+            rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+        if do_cfg:
+            text = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+            inpaint_in = jnp.concatenate([inpaint_latents] * 2, axis=0)
+            ref_in = jnp.concatenate([ref_latents] * 2, axis=0)
+        else:
+            text = prompt_embeds
+            inpaint_in = inpaint_latents
+            ref_in = ref_latents
+
+        latents = _denoise_loop_jit(
+            self.transformer, self.transformer_params, self.scheduler, state,
+            latents, text.astype(self.dtype), inpaint_in.astype(self.dtype),
+            ref_in.astype(self.dtype), rope, num_inference_steps,
+            float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
+        )
+
+        if output_type == "latent":
+            return latents
+        frames = _decode_jit(self.vae, self.vae_params, latents, self.vae.scaling_factor)
+        return frames
+
+
+# ----------------------------------------------------------------------------
+# jitted stages (module/static args hashed by jit)
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
+def _prepare_conditions_jit(
+    vae, vae_params, video, mask_video, reference, key,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+):
+    key_ref, key_aug = jax.random.split(key)
+    f_lat = (video.shape[1] - 1) // 4 + 1
+    h_lat = video.shape[2] // 8
+    w_lat = video.shape[3] // 8
+
+    # --- reference branch: VAE-encode first frames, posterior sample
+    ref = reference.astype(jnp.float32) * 2.0 - 1.0
+    ref_moments = vae_encode(vae, vae_params, ref.astype(dtype))
+    ref_latents = sample_posterior(ref_moments.astype(jnp.float32), key_ref,
+                                   vae.latent_channels) * scaling_factor
+
+    # --- inpaint branch (reference pipeline:949-1028)
+    init_video = video.astype(jnp.float32) * 2.0 - 1.0
+    mask01 = (mask_video.astype(jnp.float32) / 255.0 >= 0.5).astype(jnp.float32)
+    masked_video = init_video * (mask01 < 0.5) + (-1.0) * (mask01 > 0.5)
+    if add_noise_aug:
+        noise = jax.random.normal(key_aug, masked_video.shape, jnp.float32)
+        noise = noise * noise_aug_strength
+        noise = jnp.where(masked_video == -1.0, 0.0, noise)
+        masked_video = masked_video + noise
+    mv_moments = vae_encode(vae, vae_params, masked_video.astype(dtype))
+    masked_video_latents = posterior_mode(mv_moments.astype(jnp.float32),
+                                          vae.latent_channels) * scaling_factor
+
+    # latent-size mask: 1 - mask01 (known=1), first frame resized alone
+    mask_bcfhw = jnp.moveaxis(1.0 - mask01, -1, 1)  # (B, 1, F, H, W)
+    mask_latents = resize_mask_latent(mask_bcfhw, (f_lat, h_lat, w_lat))
+    mask_latents = jnp.moveaxis(mask_latents, 1, -1) * scaling_factor  # (B,F',h,w,1)
+
+    inpaint_latents = jnp.concatenate([mask_latents, masked_video_latents], axis=-1)
+    return inpaint_latents.astype(dtype), ref_latents.astype(dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "transformer", "scheduler", "num_steps", "do_cfg", "use_dynamic_cfg", "dtype",
+    ),
+)
+def _denoise_loop_jit(
+    transformer, params, scheduler, state, latents, text, inpaint, ref, rope,
+    num_steps, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+):
+    is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
+    is_pndm = isinstance(scheduler, PNDMScheduler)
+    loop_steps = scheduler.num_loop_steps(num_steps) if is_pndm else num_steps
+
+    def model_call(lat, i):
+        lat_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+        lat_in = scheduler.scale_model_input(state, lat_in, i)
+        t = state.timesteps[i]
+        tvec = jnp.broadcast_to(t, (lat_in.shape[0],)).astype(jnp.float32)
+        noise_pred = transformer.apply(
+            {"params": params},
+            lat_in.astype(dtype), text, tvec,
+            inpaint_latents=inpaint, cross_latents=ref, image_rotary_emb=rope,
+        ).astype(jnp.float32)
+        if do_cfg:
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            if use_dynamic_cfg:
+                # cosine-power dynamic CFG (reference pipeline:1142-1156)
+                g = 1.0 + guidance_scale * (
+                    (1.0 - jnp.cos(jnp.pi * ((num_steps - t) / num_steps) ** 5.0)) / 2.0
+                )
+            else:
+                g = guidance_scale
+            noise_pred = uncond + g * (cond - uncond)
+        return noise_pred
+
+    if is_pndm:
+        loop0 = scheduler.init_loop_state(latents.shape, jnp.float32)
+
+        def body(i, carry):
+            lat, loop = carry
+            noise_pred = model_call(lat, i)
+            lat, loop = scheduler.step(state, noise_pred, i, lat, loop)
+            return (lat, loop)
+
+        latents, _ = jax.lax.fori_loop(0, loop_steps, body, (latents, loop0))
+    elif is_dpm:
+        def body(i, carry):
+            lat, prev_x0 = carry
+            noise_pred = model_call(lat, i)
+            lat, x0 = scheduler.step(state, noise_pred, i, lat,
+                                     prev_x0=prev_x0, num_steps=num_steps)
+            return (lat, x0)
+
+        latents, _ = jax.lax.fori_loop(
+            0, loop_steps, body, (latents, jnp.zeros_like(latents))
+        )
+    else:
+        def body(i, lat):
+            noise_pred = model_call(lat, i)
+            return scheduler.step(state, noise_pred, i, lat)
+
+        latents = jax.lax.fori_loop(0, loop_steps, body, latents)
+    return latents
+
+
+@partial(jax.jit, static_argnames=("vae",))
+def _decode_jit(vae, vae_params, latents, scaling_factor):
+    z = latents.astype(jnp.float32) / scaling_factor
+    frames = vae_decode(vae, vae_params, z.astype(vae.dtype)).astype(jnp.float32)
+    return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
