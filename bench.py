@@ -1,0 +1,134 @@
+"""Single-chip denoise benchmark at the reference's headline configuration.
+
+Measures one CFG denoise step -- the dominant cost of the pipeline
+(SURVEY.md section 3.1 'HOT LOOP #2'): a CFG-doubled forward of the deployed
+DiT scale (42 blocks, dim 3072, 48x64 heads, Perceiver cross-attention every
+2 blocks) at 49 frames x 576x1024 -> 13x36x64 = 29,952 video tokens + 226
+text tokens, bf16, Pallas flash attention -- plus the DDIM update.
+
+Baseline anchor: the reference publishes no perf tables (BASELINE.md); the
+only end-to-end number is the 290 s/video HF-Spaces A100 budget
+(gradio_app.py:97).  Attributing 80% of it to the 50-step denoise loop gives
+~4.64 s/step as the A100 reference -- vs_baseline = 4.64 / measured.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEP_S = 290.0 * 0.8 / 50.0  # ~4.64 s/step on the A100 reference
+
+
+def synth_params(model, example_args, key, dtype):
+    """Random params straight on device without compiling the forward."""
+    shapes = jax.eval_shape(
+        lambda *a: model.init(jax.random.PRNGKey(0), *a), *example_args
+    )["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+
+    def make(k, s):
+        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.jit(make, static_argnums=1)(k, s) for k, s in zip(keys, leaves)]
+    )
+
+
+def main():
+    small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
+
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.ops.rope import rope_for_sample
+    from trajectorycrafter_tpu.schedulers import DDIMScheduler
+
+    if small:
+        layers, heads, head_dim, text_len = 2, 4, 64, 16
+        f, h, w = 3, 16, 24  # latent grid (pixels = x8)
+        ref_f = 1
+    else:
+        layers, heads, head_dim, text_len = 42, 48, 64, 226
+        f, h, w = 13, 72, 128  # 49f x 576x1024 -> latents 13 x 72 x 128
+        ref_f = 3  # 10 reference frames -> 3 latent frames
+
+    dtype = jnp.bfloat16
+    model = CrossTransformer3DModel(
+        num_attention_heads=heads,
+        attention_head_dim=head_dim,
+        num_layers=layers,
+        max_text_seq_length=text_len,
+        use_rotary_positional_embeddings=True,
+        attention_impl="flash" if not small else "xla",
+        dtype=dtype,
+        param_dtype=dtype,
+    )
+    b = 2  # CFG pair
+    hidden = jnp.zeros((1, f, h, w, 16), dtype)
+    text = jnp.zeros((1, text_len, 4096), dtype)
+    tvec = jnp.zeros((1,))
+    inpaint = jnp.zeros((1, f, h, w, 17), dtype)
+    cross = jnp.zeros((1, ref_f, h, w, 16), dtype)
+    params = synth_params(model, (hidden, text, tvec, inpaint, cross),
+                          jax.random.PRNGKey(0), dtype)
+    nparams = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+    print(f"# params: {nparams/1e9:.2f}B, dtype {dtype.__name__}", file=sys.stderr)
+
+    cos, sin = rope_for_sample(head_dim, h * 8, w * 8, f)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+    scheduler = DDIMScheduler(prediction_type="v_prediction")
+    state = scheduler.set_timesteps(50)
+    guidance = 6.0
+
+    @jax.jit
+    def denoise_step(params, latents, text2, inpaint2, cross2, i):
+        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        t = state.timesteps[i]
+        tb = jnp.broadcast_to(t, (b,)).astype(jnp.float32)
+        pred = model.apply(
+            {"params": params}, lat_in.astype(dtype), text2, tb,
+            inpaint_latents=inpaint2, cross_latents=cross2, image_rotary_emb=rope,
+        ).astype(jnp.float32)
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        pred = uncond + guidance * (cond - uncond)
+        return scheduler.step(state, pred, i, latents)
+
+    latents = jax.random.normal(jax.random.PRNGKey(1), (1, f, h, w, 16), jnp.float32)
+    text2 = jnp.concatenate([text] * 2)
+    inpaint2 = jnp.concatenate([inpaint] * 2)
+    cross2 = jnp.concatenate([cross] * 2)
+
+    t0 = time.time()
+    latents = denoise_step(params, latents, text2, inpaint2, cross2, 0)
+    latents.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile+first step: {compile_s:.1f}s", file=sys.stderr)
+
+    iters = 3 if not small else 2
+    t0 = time.time()
+    for i in range(1, iters + 1):
+        latents = denoise_step(params, latents, text2, inpaint2, cross2, i)
+    latents.block_until_ready()
+    step_s = (time.time() - t0) / iters
+
+    frames_per_s = 49.0 / (step_s * 50.0)
+    result = {
+        "metric": "denoise_step_latency",
+        "value": round(step_s, 4),
+        "unit": "s/step (CFG pair, 49f@576x1024, 42-block DiT, 1 chip)",
+        "vs_baseline": round(BASELINE_STEP_S / step_s, 3),
+        "frames_per_sec_per_chip": round(frames_per_s, 4),
+        "params_b": round(nparams / 1e9, 3),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Tests for the DepthCrafter stack (tiny configs, CPU): SVD UNet forward,
+temporal-decoder VAE roundtrip shapes, CLIP parity vs transformers, and the
+windowed depth pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trajectorycrafter_tpu.models.clip import CLIPVisionConfig, CLIPVisionModelWithProjection
+from trajectorycrafter_tpu.models.depthcrafter import UNetSpatioTemporalConditionModel
+from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+from trajectorycrafter_tpu.pipelines.depth import (
+    DepthCrafterDemo,
+    DepthCrafterPipeline,
+    postprocess_depth,
+    svd_euler_scheduler,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    unet = UNetSpatioTemporalConditionModel(
+        block_out_channels=(8, 16, 16, 16),
+        layers_per_block=1,
+        num_attention_heads=(2, 2, 2, 2),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+    )
+    sample = jnp.zeros((1, 3, 16, 16, 8))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 3, 1, 16))
+    added = jnp.zeros((1, 3))
+    params = unet.init(jax.random.PRNGKey(0), sample, t, ctx, added)["params"]
+    return unet, params
+
+
+def test_unet_forward_shape(tiny_unet, rng):
+    unet, params = tiny_unet
+    sample = jnp.asarray(rng.standard_normal((1, 3, 16, 16, 8)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 3, 1, 16)).astype(np.float32))
+    out = unet.apply({"params": params}, sample, jnp.asarray([0.5]), ctx,
+                     jnp.asarray([[6.0, 127.0, 0.02]]))
+    assert out.shape == (1, 3, 16, 16, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unet_temporal_mixing(tiny_unet, rng):
+    """Changing one frame must propagate to others (temporal layers work)."""
+    unet, params = tiny_unet
+    sample = np.asarray(rng.standard_normal((1, 3, 16, 16, 8)).astype(np.float32))
+    ctx = jnp.zeros((1, 3, 1, 16))
+    added = jnp.asarray([[6.0, 127.0, 0.02]])
+    out1 = np.asarray(unet.apply({"params": params}, jnp.asarray(sample),
+                                 jnp.asarray([0.5]), ctx, added))
+    sample2 = sample.copy()
+    sample2[:, 2] += 1.0
+    out2 = np.asarray(unet.apply({"params": params}, jnp.asarray(sample2),
+                                 jnp.asarray([0.5]), ctx, added))
+    assert np.abs(out1[:, 0] - out2[:, 0]).max() > 1e-6  # frame 0 affected
+
+
+@pytest.fixture(scope="module")
+def tiny_svd_vae():
+    vae = AutoencoderKLTemporalDecoder(latent_channels=4)
+    v = jnp.zeros((1, 2, 32, 32, 3))
+    # tiny channel config via module attributes not exposed; use defaults but
+    # small spatial size keeps this fast enough on CPU
+    vae_small = AutoencoderKLTemporalDecoder(latent_channels=4)
+    params = vae_small.init(jax.random.PRNGKey(0), v)["params"]
+    return vae_small, params
+
+
+@pytest.mark.slow
+def test_svd_vae_roundtrip_shapes(tiny_svd_vae, rng):
+    vae, params = tiny_svd_vae
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 2, 32, 32, 3)).astype(np.float32))
+    m = vae.apply({"params": params}, frames,
+                  method=AutoencoderKLTemporalDecoder.encode)
+    assert m.shape == (1, 2, 4, 4, 8)
+    dec = vae.apply({"params": params}, m[..., :4],
+                    method=AutoencoderKLTemporalDecoder.decode)
+    assert dec.shape == (1, 2, 32, 32, 3)
+
+
+def test_clip_parity_vs_transformers(rng):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14, projection_dim=16,
+    )
+    torch.manual_seed(0)
+    hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    px = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(pixel_values=torch.from_numpy(px)).image_embeds.numpy()
+
+    from trajectorycrafter_tpu.utils.convert import convert_clip_vision
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_clip_vision(sd, num_layers=2)
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=28, patch_size=14,
+                           projection_dim=16)
+    model = CLIPVisionModelWithProjection(cfg)
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(np.moveaxis(px, 1, -1))))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_windowed_depth_pipeline(tiny_unet, tiny_svd_vae):
+    unet, unet_params = tiny_unet
+    vae, vae_params = tiny_svd_vae
+    # cross_attention_dim=16; no CLIP encoder -> zero embeddings
+    pipe = DepthCrafterPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        dtype=jnp.float32,
+    )
+    frames = np.random.default_rng(0).uniform(0, 1, (7, 64, 64, 3)).astype(np.float32)
+    raw = pipe(frames, num_inference_steps=2, window_size=4, overlap=2)
+    assert raw.shape == (7, 64, 64)
+    assert np.all(np.isfinite(raw))
+
+    demo = DepthCrafterDemo(pipe)
+    depth = demo.infer(frames, near=0.0001, far=10000.0, num_denoising_steps=2,
+                       window_size=4, overlap=2)
+    assert depth.shape == (7, 1, 64, 64)
+    assert depth.min() >= 0.0001 and depth.max() <= 10000.0
+
+
+def test_postprocess_depth_chain():
+    raw = np.array([[0.0, 0.5], [1.0, 0.25]], np.float32)[None]
+    d = postprocess_depth(raw, near=0.1, far=1000.0)
+    # max raw -> disparity 3900 -> depth 10000/3900 ~ 2.564
+    np.testing.assert_allclose(d[0, 1, 0], 10000.0 / 3900.0, rtol=1e-5)
+    # min raw -> clipped to far
+    assert d[0, 0, 0] == 1000.0
+
+
+def test_svd_scheduler_matches_reference_config():
+    s = svd_euler_scheduler()
+    st = s.set_timesteps(5)
+    assert float(st.sigmas[0]) == pytest.approx(700.0, rel=1e-5)

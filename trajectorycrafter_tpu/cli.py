@@ -1,0 +1,175 @@
+"""Canonical CLI: reproduces the reference flag surface
+(/root/reference/inference.py:8-172) on top of the unified dataclass config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from trajectorycrafter_tpu.config import TrajCrafterConfig
+
+
+def get_parser() -> argparse.ArgumentParser:
+    d = TrajCrafterConfig()
+    p = argparse.ArgumentParser(description="TrajectoryCrafter-TPU inference")
+
+    # general (reference inference.py:11-35)
+    p.add_argument("--video_path", type=str, help="Input path")
+    p.add_argument("--out_dir", type=str, default=d.out_dir, help="Output dir")
+    p.add_argument("--exp_name", type=str, default=None,
+                   help="Experiment name, video file name by default")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--video_length", type=int, default=d.video_length)
+    p.add_argument("--fps", type=int, default=d.fps)
+    p.add_argument("--stride", type=int, default=d.stride)
+    p.add_argument("--server_name", type=str, help="Gradio server IP address")
+
+    # render (reference inference.py:37-68)
+    p.add_argument("--radius_scale", type=float, default=d.render.radius_scale)
+    p.add_argument("--camera", type=str, default=d.render.camera,
+                   choices=["traj", "target"])
+    p.add_argument("--mode", type=str, default=d.render.mode,
+                   choices=["gradual", "direct", "bullet", "zoom"])
+    p.add_argument("--mask", action="store_true", default=False,
+                   help="Clean (dilate) the disocclusion mask")
+    p.add_argument("--traj_txt", type=str, help="theta/phi/r knot file for 'traj'")
+    p.add_argument("--target_pose", nargs=5, type=float,
+                   help="<theta phi r x y> for 'target'")
+    p.add_argument("--near", type=float, default=d.render.near)
+    p.add_argument("--far", type=float, default=d.render.far)
+    p.add_argument("--anchor_idx", type=int, default=d.render.anchor_idx)
+
+    # diffusion (reference inference.py:70-132)
+    p.add_argument("--low_gpu_memory_mode", type=bool, default=False,
+                   help="accepted for reference-CLI compatibility (no-op on TPU)")
+    p.add_argument("--model_name", type=str, default=d.diffusion.model_name)
+    p.add_argument("--sampler_name", type=str, default=d.diffusion.sampler_name,
+                   choices=["Euler", "Euler A", "DPM++", "PNDM", "DDIM_Cog",
+                            "DDIM_Origin"])
+    p.add_argument("--transformer_path", type=str,
+                   default=d.diffusion.transformer_path)
+    p.add_argument("--sample_size", type=int, nargs=2,
+                   default=list(d.diffusion.sample_size))
+    p.add_argument("--diffusion_guidance_scale", type=float,
+                   default=d.diffusion.guidance_scale)
+    p.add_argument("--diffusion_inference_steps", type=int,
+                   default=d.diffusion.num_inference_steps)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--negative_prompt", type=str, default=d.diffusion.negative_prompt)
+    p.add_argument("--refine_prompt", type=str, default=d.diffusion.refine_prompt)
+    p.add_argument("--blip_path", type=str, default=d.diffusion.blip_path)
+
+    # depth (reference inference.py:134-170)
+    p.add_argument("--unet_path", type=str, default=d.depth.unet_path)
+    p.add_argument("--pre_train_path", type=str, default=d.depth.pre_train_path)
+    p.add_argument("--cpu_offload", type=str, default="model",
+                   help="accepted for reference-CLI compatibility (no-op on TPU)")
+    p.add_argument("--depth_inference_steps", type=int,
+                   default=d.depth.num_inference_steps)
+    p.add_argument("--depth_guidance_scale", type=float,
+                   default=d.depth.guidance_scale)
+    p.add_argument("--window_size", type=int, default=d.depth.window_size)
+    p.add_argument("--overlap", type=int, default=d.depth.overlap)
+    p.add_argument("--max_res", type=int, default=d.depth.max_res)
+
+    # parallelism (TPU-native addition)
+    p.add_argument("--mesh_dp", type=int, default=1)
+    p.add_argument("--mesh_sp", type=int, default=1)
+    p.add_argument("--mesh_tp", type=int, default=1)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
+    cfg = TrajCrafterConfig()
+    cfg.video_path = args.video_path
+    cfg.out_dir = args.out_dir
+    cfg.seed = args.seed
+    cfg.video_length = args.video_length
+    cfg.fps = args.fps
+    cfg.stride = args.stride
+
+    cfg.render.radius_scale = args.radius_scale
+    cfg.render.camera = args.camera
+    cfg.render.mode = args.mode
+    cfg.render.mask = args.mask
+    cfg.render.traj_txt = args.traj_txt
+    cfg.render.target_pose = tuple(args.target_pose) if args.target_pose else None
+    cfg.render.near = args.near
+    cfg.render.far = args.far
+    cfg.render.anchor_idx = args.anchor_idx
+
+    cfg.diffusion.model_name = args.model_name
+    cfg.diffusion.sampler_name = args.sampler_name
+    cfg.diffusion.transformer_path = args.transformer_path
+    cfg.diffusion.sample_size = tuple(args.sample_size)
+    cfg.diffusion.guidance_scale = args.diffusion_guidance_scale
+    cfg.diffusion.num_inference_steps = args.diffusion_inference_steps
+    cfg.diffusion.prompt = args.prompt
+    cfg.diffusion.negative_prompt = args.negative_prompt
+    cfg.diffusion.refine_prompt = args.refine_prompt
+    cfg.diffusion.blip_path = args.blip_path
+
+    cfg.depth.unet_path = args.unet_path
+    cfg.depth.pre_train_path = args.pre_train_path
+    cfg.depth.num_inference_steps = args.depth_inference_steps
+    cfg.depth.guidance_scale = args.depth_guidance_scale
+    cfg.depth.window_size = args.window_size
+    cfg.depth.overlap = args.overlap
+    cfg.depth.max_res = args.max_res
+
+    cfg.parallel.dp = args.mesh_dp
+    cfg.parallel.sp = args.mesh_sp
+    cfg.parallel.tp = args.mesh_tp
+
+    exp = args.exp_name
+    if exp is None:
+        prefix = datetime.now().strftime("%Y%m%d_%H%M")
+        base = os.path.splitext(os.path.basename(args.video_path or "run"))[0]
+        exp = f"{base}_{prefix}"
+    cfg.exp_name = exp
+    cfg.save_dir = os.path.join(cfg.out_dir, exp)
+    return cfg
+
+
+def validate(cfg: TrajCrafterConfig) -> None:
+    """Fail fast on config errors -- before any model building/compiling."""
+    if not cfg.video_path:
+        raise SystemExit("error: --video_path is required")
+    if not os.path.isfile(cfg.video_path):
+        raise SystemExit(f"error: video not found: {cfg.video_path}")
+    if cfg.render.camera == "traj":
+        if not cfg.render.traj_txt:
+            raise SystemExit("error: --camera traj requires --traj_txt")
+        if not os.path.isfile(cfg.render.traj_txt):
+            raise SystemExit(f"error: traj file not found: {cfg.render.traj_txt}")
+    if cfg.render.camera == "target" and cfg.render.target_pose is None:
+        raise SystemExit("error: --camera target requires --target_pose "
+                         "<theta phi r x y>")
+
+
+def main(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    validate(cfg)
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+
+    tc = TrajCrafter(cfg)
+    if cfg.render.mode == "gradual":
+        tc.infer_gradual()
+    elif cfg.render.mode == "direct":
+        tc.infer_direct()
+    elif cfg.render.mode == "bullet":
+        tc.infer_bullet()
+    elif cfg.render.mode == "zoom":
+        tc.infer_zoom()
+    else:
+        raise ValueError(cfg.render.mode)
+    print(f"outputs written to {cfg.save_dir}")
+
+
+if __name__ == "__main__":
+    main()

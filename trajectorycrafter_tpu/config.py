@@ -95,6 +95,7 @@ class TrajCrafterConfig:
     video_path: Optional[str] = None
     out_dir: str = "./experiments/"
     exp_name: Optional[str] = None
+    save_dir: str = "./experiments/run"
     seed: int = 43
     video_length: int = 49
     fps: int = 10

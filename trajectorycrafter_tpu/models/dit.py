@@ -102,11 +102,13 @@ class JointAttention(nn.Module):
 
         if rope is not None:
             cos, sin = rope
-            # rotate only the video tokens; heads axis broadcasts over (S, D)
-            q_img = apply_rotary_emb(jnp.swapaxes(q[:, text_len:], 1, 2), cos, sin)
-            k_img = apply_rotary_emb(jnp.swapaxes(k[:, text_len:], 1, 2), cos, sin)
-            q = jnp.concatenate([q[:, :text_len], jnp.swapaxes(q_img, 1, 2)], axis=1)
-            k = jnp.concatenate([k[:, :text_len], jnp.swapaxes(k_img, 1, 2)], axis=1)
+            # rotate the video tokens in (B, S, H, D) layout -- no transposes,
+            # so the fp32 rotation fuses into the bf16 cast without
+            # materialising layout copies (matters at 30k tokens x 48 heads)
+            q_img = apply_rotary_emb(q[:, text_len:], cos[:, None, :], sin[:, None, :])
+            k_img = apply_rotary_emb(k[:, text_len:], cos[:, None, :], sin[:, None, :])
+            q = jnp.concatenate([q[:, :text_len], q_img], axis=1)
+            k = jnp.concatenate([k[:, :text_len], k_img], axis=1)
 
         out = multi_head_attention(q, k, v, impl=self.attention_impl)
         out = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -152,6 +154,7 @@ class PerceiverCrossAttention(nn.Module):
     dim: int = 3072
     head_dim: int = 128
     heads: int = 16
+    attention_impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -174,8 +177,8 @@ class PerceiverCrossAttention(nn.Module):
         q = q.reshape(b, s_vid, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
         v = v.reshape(b, -1, self.heads, self.head_dim)
-        # ref tokens are few (~thousands); XLA attention is fine and exact
-        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5, impl="xla")
+        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
+                                   impl=self.attention_impl)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(out)
 
@@ -287,6 +290,7 @@ class CrossTransformer3DModel(nn.Module):
             if cross_tokens is not None and i % self.cross_attn_interval == 0:
                 hidden = hidden + PerceiverCrossAttention(
                     dim, self.cross_attn_dim_head, self.cross_attn_num_heads,
+                    attention_impl=self.attention_impl,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"perceiver_cross_attention_{ca_idx}",
                 )(cross_tokens, hidden)

@@ -1,0 +1,187 @@
+"""SVD AutoencoderKL with temporal decoder (DepthCrafter's VAE), Flax.
+
+The reference's depth stack uses the SVD img2vid VAE
+(models/infer.py:26-31): a standard 2D KL encoder (per-frame) and a
+"temporal decoder" whose resnets blend a (3,1,1) temporal conv branch and
+which ends in a conv3d time-smoothing layer -- published
+AutoencoderKLTemporalDecoder architecture, rebuilt channel-last.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from trajectorycrafter_tpu.models.depthcrafter import (
+    AlphaBlender,
+    ResnetBlock2D,
+    TemporalResnetBlock,
+)
+
+SVD_VAE_SCALING = 0.18215
+
+
+class AttnBlock2D(nn.Module):
+    """Single-head spatial self-attention over HW tokens (VAE mid block)."""
+
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                          param_dtype=self.param_dtype, name="group_norm")(
+            x.astype(jnp.float32)).astype(x.dtype)
+        t = hn.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q")(t)
+        k = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_k")(t)
+        v = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype, name="to_v")(t)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * c**-0.5
+        wgt = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", wgt, v)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="to_out")(out)
+        return x + out.reshape(b, h, w, c)
+
+
+class Encoder2D(nn.Module):
+    """Per-frame KL encoder -> (B, h/8, w/8, 2*latent) moments."""
+
+    latent_channels: int = 4
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.block_out_channels[0], (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv_in")(x)
+        n = len(self.block_out_channels)
+        for i, ch in enumerate(self.block_out_channels):
+            for j in range(self.layers_per_block):
+                x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  name=f"down_{i}_res_{j}")(x, None)
+            if i < n - 1:
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"down_{i}_downsample")(x)
+        ch = self.block_out_channels[-1]
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="mid_res_0")(x, None)
+        x = AttnBlock2D(self.dtype, self.param_dtype, name="mid_attn")(x)
+        x = ResnetBlock2D(ch, eps=1e-6, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="mid_res_1")(x, None)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="conv_norm_out")(
+            x.astype(jnp.float32)).astype(x.dtype)
+        x = nn.silu(x)
+        x = nn.Conv(2 * self.latent_channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv_out")(x)
+        return nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="quant_conv")(x)
+
+
+class SpatioTemporalResBlockNoTemb(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int):
+        bf, hh, ww, _ = x.shape
+        b = bf // num_frames
+        h = ResnetBlock2D(self.out_channels, eps=1e-6, groups=self.groups,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="spatial_res_block")(x, None)
+        h5 = h.reshape(b, num_frames, hh, ww, self.out_channels)
+        t5 = TemporalResnetBlock(self.out_channels, groups=self.groups,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name="temporal_res_block")(h5, None)
+        out = AlphaBlender(self.param_dtype, name="time_mixer")(h5, t5)
+        return out.reshape(bf, hh, ww, self.out_channels)
+
+
+class TemporalDecoder(nn.Module):
+    """(B, F, h/8, w/8, latent) -> (B, F, h, w, 3)."""
+
+    latent_channels: int = 4
+    out_channels: int = 3
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        b, f, hh, ww, _ = z.shape
+        rev = list(reversed(self.block_out_channels))
+        x = z.reshape(b * f, hh, ww, z.shape[-1]).astype(self.dtype)
+        x = nn.Conv(rev[0], (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_in")(x)
+        x = SpatioTemporalResBlockNoTemb(rev[0], dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="mid_res_0")(x, f)
+        x = AttnBlock2D(self.dtype, self.param_dtype, name="mid_attn")(x)
+        x = SpatioTemporalResBlockNoTemb(rev[0], dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="mid_res_1")(x, f)
+        n = len(rev)
+        for i, ch in enumerate(rev):
+            for j in range(self.layers_per_block):
+                x = SpatioTemporalResBlockNoTemb(ch, dtype=self.dtype,
+                                                 param_dtype=self.param_dtype,
+                                                 name=f"up_{i}_res_{j}")(x, f)
+            if i < n - 1:
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=f"up_{i}_upsample")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="conv_norm_out")(
+            x.astype(jnp.float32)).astype(x.dtype)
+        x = nn.silu(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_out")(x)
+        # conv3d time smoothing (published temporal-decoder tail)
+        hh2, ww2 = x.shape[1], x.shape[2]
+        x = x.reshape(b, f, hh2, ww2, self.out_channels)
+        x = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="time_conv_out")(x)
+        return x
+
+
+class AutoencoderKLTemporalDecoder(nn.Module):
+    latent_channels: int = 4
+    scaling_factor: float = SVD_VAE_SCALING
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder2D(latent_channels=self.latent_channels,
+                                 dtype=self.dtype, param_dtype=self.param_dtype)
+        self.decoder = TemporalDecoder(latent_channels=self.latent_channels,
+                                       dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def encode(self, frames):
+        """(B, F, H, W, 3) -> per-frame moments (B, F, H/8, W/8, 8)."""
+        b, f = frames.shape[:2]
+        x = frames.reshape(b * f, *frames.shape[2:])
+        m = self.encoder(x)
+        return m.reshape(b, f, *m.shape[1:])
+
+    def decode(self, z):
+        return self.decoder(z)
+
+    def __call__(self, frames):
+        m = self.encode(frames)
+        mean = m[..., : self.latent_channels]
+        return self.decode(mean)

@@ -43,24 +43,29 @@ def _flash_attention(q, k, v, scale):
         flash_attention,
     )
 
-    b, h, s, d = q.shape
-    block = 512 if s >= 512 else 128
-    qp, s_orig = _pad_to(q, block, axis=2)
-    kp, _ = _pad_to(k, block, axis=2)
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    block = 512 if min(sq, skv) >= 512 else 128
+    qp, sq_orig = _pad_to(q, block, axis=2)
+    kp, skv_orig = _pad_to(k, block, axis=2)
     vp, _ = _pad_to(v, block, axis=2)
-    sp = qp.shape[2]
-    if sp != s_orig:
+    sq_p, skv_p = qp.shape[2], kp.shape[2]
+    if sq_p != sq_orig or skv_p != skv_orig:
         # valid tokens segment 1, padding segment 0 (pads only attend pads)
-        ids = (jnp.arange(sp) < s_orig).astype(jnp.int32)
-        seg = SegmentIds(q=jnp.broadcast_to(ids, (b, sp)), kv=jnp.broadcast_to(ids, (b, sp)))
+        q_ids = (jnp.arange(sq_p) < sq_orig).astype(jnp.int32)
+        kv_ids = (jnp.arange(skv_p) < skv_orig).astype(jnp.int32)
+        seg = SegmentIds(
+            q=jnp.broadcast_to(q_ids, (b, sq_p)),
+            kv=jnp.broadcast_to(kv_ids, (b, skv_p)),
+        )
     else:
         seg = None
     sizes = BlockSizes(
-        block_q=min(block, sp), block_k_major=min(block, sp),
-        block_k=min(block, sp), block_b=1,
+        block_q=min(block, sq_p), block_k_major=min(block, skv_p),
+        block_k=min(block, skv_p), block_b=1,
     )
     out = flash_attention(qp, kp, vp, segment_ids=seg, sm_scale=scale, block_sizes=sizes)
-    return out[:, :, :s_orig]
+    return out[:, :, :sq_orig]
 
 
 def multi_head_attention(
@@ -77,7 +82,7 @@ def multi_head_attention(
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # (B, H, S, D)
     if impl == "auto":
         on_tpu = jax.devices()[0].platform != "cpu"
-        impl = "flash" if (on_tpu and s >= 1024) else "xla"
+        impl = "flash" if (on_tpu and s * k.shape[1] >= 1024 * 1024) else "xla"
     if impl == "flash":
         out = _flash_attention(qt, kt, vt, scale)
     else:

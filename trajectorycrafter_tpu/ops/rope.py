@@ -79,12 +79,15 @@ def apply_rotary_emb(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.
 
     Matches diffusers apply_rotary_emb(use_real=True, use_real_unbind_dim=-1):
     pairs (x0, x1) -> (x0 cos - x1 sin, x1 cos + x0 sin).
+
+    Computation stays in x's dtype: in bf16 model runs the fp32 upcast would
+    materialise ~GB-scale lane-padded temporaries at 30k tokens x 48 heads
+    (observed via the XLA allocation dump); the bf16 phase error (<0.5%) is
+    far below the denoiser's bf16 activation noise floor.
     """
-    x_f = x.astype(jnp.float32)
-    x_pairs = x_f.reshape(*x.shape[:-1], -1, 2)
+    x_pairs = x.reshape(*x.shape[:-1], -1, 2)
     x_rot = jnp.stack([-x_pairs[..., 1], x_pairs[..., 0]], axis=-1).reshape(x.shape)
-    out = x_f * cos + x_rot * sin
-    return out.astype(x.dtype)
+    return x * cos.astype(x.dtype) + x_rot * sin.astype(x.dtype)
 
 
 def rope_for_sample(

@@ -1,0 +1,191 @@
+"""DepthCrafter windowed video-depth pipeline (jit-compiled).
+
+Replaces the reference's external-submodule pipeline behind the same
+interface (models/infer.py:52-92 ``DepthCrafterDemo.infer``):
+  * per-frame CLIP image embeddings + per-frame VAE conditioning latents;
+  * EulerDiscrete (continuous Karras sigmas, v-prediction, SVD config)
+    denoising of each temporal window (window 110 / overlap 25 defaults,
+    inference.py:163-167), no CFG at guidance 1.0;
+  * consecutive windows are latent-blended across the overlap with a linear
+    ramp and seeded from the previous window's overlap latents, keeping the
+    whole video temporally consistent;
+  * post-processing chain reproduced verbatim from models/infer.py:79-91:
+    3-channel mean -> global min-max normalise -> x3900 -> 10000/d ->
+    clip(near, far).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trajectorycrafter_tpu.models.clip import (
+    CLIP_IMAGE_MEAN,
+    CLIP_IMAGE_STD,
+    CLIPVisionModelWithProjection,
+)
+from trajectorycrafter_tpu.models.depthcrafter import UNetSpatioTemporalConditionModel
+from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+from trajectorycrafter_tpu.ops.resize import resize_linear
+from trajectorycrafter_tpu.schedulers.euler import EulerDiscreteScheduler
+
+
+def svd_euler_scheduler() -> EulerDiscreteScheduler:
+    """SVD/DepthCrafter scheduler configuration."""
+    return EulerDiscreteScheduler(
+        prediction_type="v_prediction",
+        timestep_type="continuous",
+        interpolation_type="linear",
+        use_karras_sigmas=True,
+        sigma_min=0.002,
+        sigma_max=700.0,
+        timestep_spacing="leading",
+        steps_offset=1,
+    )
+
+
+@dataclass
+class DepthCrafterPipeline:
+    unet: UNetSpatioTemporalConditionModel
+    unet_params: Any
+    vae: AutoencoderKLTemporalDecoder
+    vae_params: Any
+    image_encoder: Optional[CLIPVisionModelWithProjection] = None
+    image_encoder_params: Any = None
+    scheduler: EulerDiscreteScheduler = None
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.scheduler is None:
+            self.scheduler = svd_euler_scheduler()
+
+    # ------------------------------------------------------------------
+    def encode_image_embeddings(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """frames (F, H, W, 3) in [0,1] -> per-frame CLIP embeds (F, 1, D)."""
+        if self.image_encoder is None:
+            return jnp.zeros((frames.shape[0], 1, self.unet.cross_attention_dim))
+        size = self.image_encoder.cfg.image_size
+        x = resize_linear(jnp.moveaxis(frames, -1, 1), (size, size))
+        x = jnp.moveaxis(x, 1, -1)
+        x = (x - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
+        emb = self.image_encoder.apply({"params": self.image_encoder_params}, x)
+        return emb[:, None, :]
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        frames: np.ndarray,  # (F, H, W, 3) in [0, 1]
+        num_inference_steps: int = 5,
+        guidance_scale: float = 1.0,
+        window_size: int = 110,
+        overlap: int = 25,
+        key: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """-> raw single-channel disparity (F, H, W), pre-normalisation."""
+        if key is None:
+            key = jax.random.PRNGKey(42)
+        frames = jnp.asarray(frames, jnp.float32)
+        f, h, w, _ = frames.shape
+        window_size = min(window_size, f)
+        stride = max(window_size - overlap, 1)
+
+        ctx = self.encode_image_embeddings(frames).astype(self.dtype)
+        # per-frame conditioning latents (SVD convention: un-scaled mode)
+        moments = self.vae.apply(
+            {"params": self.vae_params}, (frames * 2.0 - 1.0)[None].astype(self.dtype),
+            method=AutoencoderKLTemporalDecoder.encode,
+        )[0]
+        cond_latents = moments[..., : self.vae.latent_channels].astype(jnp.float32)
+
+        state = self.scheduler.set_timesteps(num_inference_steps)
+        added = jnp.asarray([[6.0, 127.0, 0.02]])  # fps, motion bucket, noise aug
+
+        starts = list(range(0, max(f - window_size, 0) + 1, stride))
+        if starts[-1] + window_size < f:
+            starts.append(f - window_size)
+
+        latents_all = jnp.zeros((f,) + cond_latents.shape[1:], jnp.float32)
+        counts = jnp.zeros((f, 1, 1, 1), jnp.float32)
+        prev_tail = None
+        for wi, s in enumerate(starts):
+            key, sub = jax.random.split(key)
+            win_cond = cond_latents[s : s + window_size]
+            win_ctx = ctx[s : s + window_size]
+            noise = jax.random.normal(sub, win_cond.shape, jnp.float32)
+            init = noise * state.init_noise_sigma
+            if prev_tail is not None:
+                # seed the overlap with the previous window's denoised latents
+                # re-noised to sigma_max for temporal consistency
+                reno = prev_tail + noise[:overlap] * state.init_noise_sigma
+                init = jnp.concatenate([reno, init[overlap:]], axis=0)
+            win_lat = _denoise_window_jit(
+                self.unet, self.unet_params, self.scheduler, state,
+                init, win_cond, win_ctx, added, num_inference_steps, self.dtype,
+            )
+            ramp = jnp.ones((window_size, 1, 1, 1), jnp.float32)
+            if wi > 0:
+                r = jnp.linspace(0.0, 1.0, overlap + 2)[1:-1]
+                ramp = ramp.at[:overlap, 0, 0, 0].set(r)
+            latents_all = latents_all.at[s : s + window_size].add(win_lat * ramp)
+            counts = counts.at[s : s + window_size].add(ramp)
+            prev_tail = win_lat[-overlap:] if overlap > 0 else None
+
+        latents_all = latents_all / jnp.maximum(counts, 1e-8)
+        dec = self.vae.apply(
+            {"params": self.vae_params},
+            (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
+            method=AutoencoderKLTemporalDecoder.decode,
+        )[0].astype(jnp.float32)
+        dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
+        return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
+
+
+@partial(jax.jit, static_argnames=("unet", "scheduler", "num_steps", "dtype"))
+def _denoise_window_jit(unet, params, scheduler, state, latents, cond_latents,
+                        ctx, added, num_steps, dtype):
+    """Full Euler denoise of one window as a single fori_loop program."""
+
+    def body(i, lat):
+        scaled = scheduler.scale_model_input(state, lat, i)
+        x_in = jnp.concatenate([scaled, cond_latents], axis=-1)[None]
+        t = jnp.broadcast_to(state.timesteps[i], (1,))
+        pred = unet.apply(
+            {"params": params}, x_in.astype(dtype), t, ctx[None], added,
+        )[0].astype(jnp.float32)
+        return scheduler.step(state, pred, i, lat)
+
+    return jax.lax.fori_loop(0, num_steps, body, latents)
+
+
+def postprocess_depth(raw: np.ndarray, near: float, far: float) -> np.ndarray:
+    """Reference post-processing chain, verbatim (models/infer.py:79-91)."""
+    d = (raw - raw.min()) / max(raw.max() - raw.min(), 1e-12)
+    d = d * 3900.0
+    d = np.where(d < 1e-5, 1e-5, d)
+    d = 10000.0 / d
+    return np.clip(d, near, far)
+
+
+class DepthCrafterDemo:
+    """Reference-compatible facade (models/infer.py:12-92)."""
+
+    def __init__(self, pipeline: DepthCrafterPipeline):
+        self.pipe = pipeline
+
+    def infer(self, frames, near, far, num_denoising_steps=5, guidance_scale=1.0,
+              window_size=110, overlap=25, seed=42, track_time=False):
+        raw = self.pipe(
+            frames,
+            num_inference_steps=num_denoising_steps,
+            guidance_scale=guidance_scale,
+            window_size=window_size,
+            overlap=overlap,
+            key=jax.random.PRNGKey(seed),
+        )
+        depth = postprocess_depth(raw, near, far)
+        return depth[:, None]  # (F, 1, H, W)

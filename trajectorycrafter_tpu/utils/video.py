@@ -1,0 +1,76 @@
+"""Host-side video I/O (cv2; C++ decode/encode under the hood).
+
+Replaces the reference's decord/torchvision stack (models/utils.py:30-80):
+``read_video_frames`` reproduces the fixed 1024x576 resize + stride sampling;
+``save_video`` writes mp4.  cv2's VideoCapture/VideoWriter wrap ffmpeg/native
+codecs, keeping the host pipeline dependency-light.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+
+def read_video_frames(
+    video_path: str,
+    process_length: int,
+    stride: int = 1,
+    max_res: int = 1024,
+    width: int = 1024,
+    height: int = 576,
+) -> np.ndarray:
+    """-> (N, height, width, 3) float32 RGB in [0, 1]."""
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {video_path}")
+    frames: List[np.ndarray] = []
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % stride == 0:
+            frame = cv2.resize(frame, (width, height), interpolation=cv2.INTER_LINEAR)
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if process_length != -1 and len(frames) >= process_length:
+                break
+        idx += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {video_path}")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def pad_to_length(frames: np.ndarray, length: int) -> np.ndarray:
+    """Repeat the last frame up to ``length`` (reference demo.py:50-57)."""
+    if frames.shape[0] >= length:
+        return frames[:length]
+    pad = np.repeat(frames[-1:], length - frames.shape[0], axis=0)
+    return np.concatenate([frames, pad], axis=0)
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
+    """frames (N, H, W, 3) float in [0, 1] (or uint8) -> mp4."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+    n, h, w = frames.shape[:3]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    for fourcc_name in ("mp4v", "avc1"):
+        fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
+        writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
+        if writer.isOpened():
+            break
+    if not writer.isOpened():
+        raise RuntimeError(f"cannot open video writer for {path}")
+    for f in frames:
+        if f.ndim == 2 or f.shape[-1] == 1:
+            f = cv2.cvtColor(f.reshape(h, w), cv2.COLOR_GRAY2BGR)
+        else:
+            f = cv2.cvtColor(f, cv2.COLOR_RGB2BGR)
+        writer.write(f)
+    writer.release()
