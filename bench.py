@@ -8,8 +8,13 @@ text tokens, bf16, Pallas flash attention -- plus the DDIM update.
 
 Baseline anchor: the reference publishes no perf tables (BASELINE.md); the
 only end-to-end number is the 290 s/video HF-Spaces A100 budget
-(gradio_app.py:97).  Attributing 80% of it to the 50-step denoise loop gives
-~4.64 s/step as the A100 reference -- vs_baseline = 4.64 / measured.
+(gradio_app.py:97), which corresponds to the reference's default 384x672
+denoise resolution (13,330 tokens).  Attributing 80% of the budget to the
+50-step loop gives ~4.64 s/step at 384x672; scaling by the FLOPs ratio to
+this benchmark's 576x1024 resolution (30,178 tokens; attention is quadratic)
+gives ~16.0 s/step as the A100-equivalent baseline -- consistent with A100
+bf16 peak (4.64 s/step at 576x1024 would exceed it).
+vs_baseline = 16.0 / measured.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_STEP_S = 290.0 * 0.8 / 50.0  # ~4.64 s/step on the A100 reference
+# 290 s * 0.8 / 50 steps at 384x672, scaled by the 576x1024 FLOPs ratio (3.45x)
+BASELINE_STEP_S = (290.0 * 0.8 / 50.0) * 3.45  # ~16.0 s/step A100-equivalent
 
 
 def synth_params(model, example_args, key, dtype):

@@ -86,6 +86,8 @@ class JointAttention(nn.Module):
         x = jnp.concatenate([encoder, hidden], axis=1)
         b, s, _ = x.shape
         inner = self.heads * self.head_dim
+        # q/k/v as three Denses (separate checkpoint tensors) -- XLA fuses the
+        # three GEMMs sharing the same input into one pass over x
         dense = lambda name: nn.Dense(inner, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)
         q = dense("to_q")(x).reshape(b, s, self.heads, self.head_dim)
