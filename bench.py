@@ -49,6 +49,9 @@ def synth_params(model, example_args, key, dtype):
 
 
 def main():
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
 
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel

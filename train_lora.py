@@ -70,6 +70,9 @@ def build_base_model(args, sample):
 
 
 def main(argv=None):
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 

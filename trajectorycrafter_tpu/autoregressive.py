@@ -121,10 +121,13 @@ class TrajCrafterAutoregressive(TrajCrafter):
             out_segments.append(gen if wi == 0 else gen[overlap_frames:])
             if wi + 1 < len(windows):
                 # feed the generated segment forward (reference :95-107)
-                cur_frames = np.asarray(
-                    jax.image.resize(jnp.asarray(gen),
-                                     (seg_len,) + cfg.warp_size + (3,), "linear")
-                )
+                import cv2
+
+                cur_frames = np.stack([
+                    cv2.resize(fr, (cfg.warp_size[1], cfg.warp_size[0]),
+                               interpolation=cv2.INTER_LINEAR)
+                    for fr in np.asarray(gen, np.float32)
+                ])
                 cur_depths = self._estimate_depth(cur_frames)
         return np.concatenate(out_segments, axis=0)
 
@@ -191,10 +194,12 @@ class TrajCrafterGlobalPointCloud(TrajCrafter):
             if wi + 1 < len(windows):
                 # re-lift the generated segment into the cloud with robust
                 # depth-scale alignment (reference :318-344)
-                gen_w = np.asarray(
-                    jax.image.resize(jnp.asarray(gen),
-                                     (seg_len, hw, ww, 3), "linear")
-                )
+                import cv2
+
+                gen_w = np.stack([
+                    cv2.resize(fr, (ww, hw), interpolation=cv2.INTER_LINEAR)
+                    for fr in np.asarray(gen, np.float32)
+                ])
                 gen_depth = self._estimate_depth(gen_w)[:, 0]
                 rend_depth = np.stack(depths_l)
                 scale = align_depth_scale(gen_depth, rend_depth, masks)

@@ -150,6 +150,9 @@ def validate(cfg: TrajCrafterConfig) -> None:
 
 
 def main(argv=None) -> None:
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_parser().parse_args(argv)
     cfg = config_from_args(args)
     validate(cfg)

@@ -81,7 +81,7 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
         latent_channels=lc, block_out_channels=(8, 16, 16, 32),
         layers_per_block=1, norm_num_groups=4,
     )
-    vae_params = vae.init(
+    vae_params = jax.jit(vae.init)(
         jax.random.PRNGKey(seed), jnp.zeros((1, 5, 32, 48, 3))
     )["params"]
     text_dim, text_len = 64, 16
@@ -96,7 +96,7 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
     h = cfg.diffusion.sample_size[0] // 8
     w = cfg.diffusion.sample_size[1] // 8
     f = (cfg.video_length - 1) // 4 + 1
-    dit_params = dit.init(
+    dit_params = jax.jit(dit.init)(
         jax.random.PRNGKey(seed + 1),
         jnp.zeros((1, f, h, w, lc)), jnp.zeros((1, text_len, text_dim)),
         jnp.zeros((1,)), jnp.zeros((1, f, h, w, lc + 1)),
@@ -203,14 +203,21 @@ class TrajCrafter:
         hs, ws = cfg.diffusion.sample_size
         f = frames.shape[0]
 
-        def resize_video(v):  # bilinear, torch align_corners=False semantics
-            x = jnp.moveaxis(jnp.asarray(v), -1, 1)
-            return np.asarray(jnp.moveaxis(resize_linear(x, (hs, ws)), 1, -1))
+        # host-side resizes stay on CPU (cv2 INTER_LINEAR == torch bilinear
+        # align_corners=False half-pixel; INTER_NEAREST for masks) -- keeps
+        # the TPU program count down to the compute path
+        import cv2
+
+        def resize_video(v):
+            return np.stack([
+                cv2.resize(np.asarray(fr), (ws, hs), interpolation=cv2.INTER_LINEAR)
+                for fr in np.asarray(v, np.float32)
+            ])
 
         frames_s = resize_video(frames)
         cond_s = resize_video(cond_video)
         masks_s = np.asarray(
-            resize_nearest(jnp.asarray(cond_masks)[:, None], (hs, ws))
+            resize_nearest(jnp.asarray(np.asarray(cond_masks))[:, None], (hs, ws))
         )[:, 0]
 
         os.makedirs(cfg.save_dir, exist_ok=True)

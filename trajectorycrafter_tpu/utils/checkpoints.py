@@ -142,19 +142,65 @@ def load_full_bundle(cfg) -> "ModelBundle":
             print(f"[trajcrafter-tpu] DepthCrafter unavailable ({e}); "
                   "using plane-depth stub")
 
+    from trajectorycrafter_tpu.utils.caption import build_captioner
+
+    captioner = (
+        (lambda frame: cfg.diffusion.prompt)
+        if cfg.diffusion.prompt
+        else build_captioner(cfg.diffusion.blip_path)
+    )
     return ModelBundle(
         pipeline=pipeline,
         depth_infer=depth_infer,
         encode_prompt=encode_prompt,
-        get_caption=lambda frame: cfg.diffusion.prompt or "a video",
+        get_caption=captioner,
     )
 
 
 def load_depthcrafter(cfg, dtype=jnp.bfloat16):
     """Build the windowed depth callable from converted SVD/DepthCrafter
-    checkpoints (conversion of the UNet state dict lands with the checkpoint
-    tooling; interface matches models/infer.py:52)."""
-    raise NotImplementedError(
-        "DepthCrafter checkpoint conversion requires the downloaded HF "
-        "weights; see utils/convert.py for the converter entry points."
+    checkpoints (interface matches reference models/infer.py:52)."""
+    from trajectorycrafter_tpu.models.clip import (
+        CLIPVisionModelWithProjection,
+        clip_vit_h14_config,
     )
+    from trajectorycrafter_tpu.models.depthcrafter import (
+        UNetSpatioTemporalConditionModel,
+    )
+    from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+    from trajectorycrafter_tpu.pipelines.depth import (
+        DepthCrafterDemo,
+        DepthCrafterPipeline,
+    )
+    from trajectorycrafter_tpu.utils.convert import (
+        convert_clip_vision,
+        convert_svd_unet,
+        convert_svd_vae,
+        load_safetensors_dir,
+    )
+
+    unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype)
+    unet_params = _cast_tree(
+        convert_svd_unet(load_safetensors_dir(cfg.depth.unet_path)), dtype
+    )
+    vae = AutoencoderKLTemporalDecoder(dtype=dtype, param_dtype=dtype)
+    vae_params = _cast_tree(
+        convert_svd_vae(load_safetensors_dir(
+            os.path.join(cfg.depth.pre_train_path, "vae"))), dtype
+    )
+    image_encoder = image_encoder_params = None
+    ie_path = os.path.join(cfg.depth.pre_train_path, "image_encoder")
+    if os.path.isdir(ie_path):
+        clip_cfg = clip_vit_h14_config()
+        image_encoder = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype,
+                                                      param_dtype=dtype)
+        image_encoder_params = _cast_tree(
+            convert_clip_vision(load_safetensors_dir(ie_path),
+                                clip_cfg.num_hidden_layers), dtype
+        )
+    pipe = DepthCrafterPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        image_encoder=image_encoder, image_encoder_params=image_encoder_params,
+        dtype=dtype,
+    )
+    return DepthCrafterDemo(pipe).infer

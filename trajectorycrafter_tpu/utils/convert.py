@@ -226,6 +226,195 @@ def convert_dit(sd: Mapping[str, Array], num_layers: int = 42,
 
 
 # ----------------------------------------------------------------------------
+# SVD / DepthCrafter spatio-temporal UNet (diffusers
+# UNetSpatioTemporalConditionModel state dict -> models/depthcrafter.py names)
+# ----------------------------------------------------------------------------
+
+
+def _res2d(sd, prefix):
+    out = {
+        "norm1": _gn(sd, prefix + ".norm1"),
+        "norm2": _gn(sd, prefix + ".norm2"),
+        "conv1": _conv2d(sd, prefix + ".conv1"),
+        "conv2": _conv2d(sd, prefix + ".conv2"),
+    }
+    if prefix + ".time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = _lin(sd, prefix + ".time_emb_proj")
+    if prefix + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv2d(sd, prefix + ".conv_shortcut")
+    return out
+
+
+def _res_temporal(sd, prefix):
+    out = {
+        "norm1": _gn(sd, prefix + ".norm1"),
+        "norm2": _gn(sd, prefix + ".norm2"),
+        "conv1": _conv3d(sd, prefix + ".conv1"),
+        "conv2": _conv3d(sd, prefix + ".conv2"),
+    }
+    if prefix + ".time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = _lin(sd, prefix + ".time_emb_proj")
+    if prefix + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv3d(sd, prefix + ".conv_shortcut")
+    return out
+
+
+def _st_resblock(sd, prefix):
+    return {
+        "spatial_res_block": _res2d(sd, prefix + ".spatial_res_block"),
+        "temporal_res_block": _res_temporal(sd, prefix + ".temporal_res_block"),
+        "time_mixer": {"mix_factor": np.atleast_1d(
+            np.asarray(sd[prefix + ".time_mixer.mix_factor"]))},
+    }
+
+
+def _attn_inner(sd, prefix):
+    out = {
+        "to_q": _lin(sd, prefix + ".to_q", bias=False),
+        "to_k": _lin(sd, prefix + ".to_k", bias=False),
+        "to_v": _lin(sd, prefix + ".to_v", bias=False),
+        "to_out": _lin(sd, prefix + ".to_out.0"),
+    }
+    return out
+
+
+def _basic_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "norm3": _ln(sd, prefix + ".norm3"),
+        "attn1": _attn_inner(sd, prefix + ".attn1"),
+        "attn2": _attn_inner(sd, prefix + ".attn2"),
+        "ff": {"proj_in": _lin(sd, prefix + ".ff.net.0.proj"),
+               "proj_out": _lin(sd, prefix + ".ff.net.2")},
+    }
+
+
+def _temporal_block(sd, prefix):
+    return {
+        "norm_in": _ln(sd, prefix + ".norm_in"),
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "norm3": _ln(sd, prefix + ".norm3"),
+        "ff_in": {"proj_in": _lin(sd, prefix + ".ff_in.net.0.proj"),
+                  "proj_out": _lin(sd, prefix + ".ff_in.net.2")},
+        "attn1": _attn_inner(sd, prefix + ".attn1"),
+        "attn2": _attn_inner(sd, prefix + ".attn2"),
+        "ff": {"proj_in": _lin(sd, prefix + ".ff.net.0.proj"),
+               "proj_out": _lin(sd, prefix + ".ff.net.2")},
+    }
+
+
+def _st_transformer(sd, prefix, num_layers=1):
+    out = {
+        "norm": _gn(sd, prefix + ".norm"),
+        "proj_in": _lin(sd, prefix + ".proj_in"),
+        "proj_out": _lin(sd, prefix + ".proj_out"),
+        "time_mixer": {"mix_factor": np.atleast_1d(
+            np.asarray(sd[prefix + ".time_mixer.mix_factor"]))},
+    }
+    for i in range(num_layers):
+        out[f"transformer_blocks_{i}"] = _basic_block(
+            sd, f"{prefix}.transformer_blocks.{i}")
+        out[f"temporal_transformer_blocks_{i}"] = _temporal_block(
+            sd, f"{prefix}.temporal_transformer_blocks.{i}")
+    return out
+
+
+def convert_svd_unet(sd: Mapping[str, Array], layers_per_block: int = 2,
+                     num_blocks: int = 4) -> Dict[str, Any]:
+    params: Dict[str, Any] = {
+        "conv_in": _conv2d(sd, "conv_in"),
+        "conv_out": _conv2d(sd, "conv_out"),
+        "conv_norm_out": _gn(sd, "conv_norm_out"),
+        "time_embedding_linear_1": _lin(sd, "time_embedding.linear_1"),
+        "time_embedding_linear_2": _lin(sd, "time_embedding.linear_2"),
+        "add_embedding_linear_1": _lin(sd, "add_embedding.linear_1"),
+        "add_embedding_linear_2": _lin(sd, "add_embedding.linear_2"),
+    }
+    for i in range(num_blocks):
+        has_attn = i < num_blocks - 1
+        for j in range(layers_per_block):
+            params[f"down_{i}_res_{j}"] = _st_resblock(
+                sd, f"down_blocks.{i}.resnets.{j}")
+            if has_attn:
+                params[f"down_{i}_attn_{j}"] = _st_transformer(
+                    sd, f"down_blocks.{i}.attentions.{j}")
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            params[f"down_{i}_downsample"] = _conv2d(
+                sd, f"down_blocks.{i}.downsamplers.0.conv")
+    params["mid_res_0"] = _st_resblock(sd, "mid_block.resnets.0")
+    params["mid_res_1"] = _st_resblock(sd, "mid_block.resnets.1")
+    params["mid_attn"] = _st_transformer(sd, "mid_block.attentions.0")
+    for i in range(num_blocks):
+        block_idx = num_blocks - 1 - i
+        has_attn = block_idx < num_blocks - 1
+        for j in range(layers_per_block + 1):
+            params[f"up_{i}_res_{j}"] = _st_resblock(
+                sd, f"up_blocks.{i}.resnets.{j}")
+            if has_attn:
+                params[f"up_{i}_attn_{j}"] = _st_transformer(
+                    sd, f"up_blocks.{i}.attentions.{j}")
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            params[f"up_{i}_upsample"] = _conv2d(
+                sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return params
+
+
+# ----------------------------------------------------------------------------
+# SVD temporal-decoder VAE (diffusers AutoencoderKLTemporalDecoder)
+# ----------------------------------------------------------------------------
+
+
+def _vae_attn(sd, prefix):
+    return {
+        "group_norm": _gn(sd, prefix + ".group_norm"),
+        "to_q": _lin(sd, prefix + ".to_q"),
+        "to_k": _lin(sd, prefix + ".to_k"),
+        "to_v": _lin(sd, prefix + ".to_v"),
+        "to_out": _lin(sd, prefix + ".to_out.0"),
+    }
+
+
+def convert_svd_vae(sd: Mapping[str, Array], layers_per_block: int = 2,
+                    num_blocks: int = 4) -> Dict[str, Any]:
+    enc: Dict[str, Any] = {
+        "conv_in": _conv2d(sd, "encoder.conv_in"),
+        "conv_out": _conv2d(sd, "encoder.conv_out"),
+        "conv_norm_out": _gn(sd, "encoder.conv_norm_out"),
+        "quant_conv": _conv2d(sd, "quant_conv"),
+        "mid_res_0": _res2d(sd, "encoder.mid_block.resnets.0"),
+        "mid_res_1": _res2d(sd, "encoder.mid_block.resnets.1"),
+        "mid_attn": _vae_attn(sd, "encoder.mid_block.attentions.0"),
+    }
+    for i in range(num_blocks):
+        for j in range(layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _res2d(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            enc[f"down_{i}_downsample"] = _conv2d(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+
+    dec: Dict[str, Any] = {
+        "conv_in": _conv2d(sd, "decoder.conv_in"),
+        "conv_out": _conv2d(sd, "decoder.conv_out"),
+        "conv_norm_out": _gn(sd, "decoder.conv_norm_out"),
+        "time_conv_out": _conv3d(sd, "decoder.time_conv_out"),
+        "mid_res_0": _st_resblock(sd, "decoder.mid_block.resnets.0"),
+        "mid_res_1": _st_resblock(sd, "decoder.mid_block.resnets.1"),
+        "mid_attn": _vae_attn(sd, "decoder.mid_block.attentions.0"),
+    }
+    for i in range(num_blocks):
+        for j in range(3):
+            dec[f"up_{i}_res_{j}"] = _st_resblock(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            dec[f"up_{i}_upsample"] = _conv2d(
+                sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    return {"encoder": enc, "decoder": dec}
+
+
+# ----------------------------------------------------------------------------
 # CLIP vision encoder (HF transformers CLIPVisionModelWithProjection)
 # ----------------------------------------------------------------------------
 

@@ -14,6 +14,23 @@ from typing import List, Optional
 import cv2
 import numpy as np
 
+try:  # native pixel kernels (native/hostops.c); numpy fallback otherwise
+    from trajectorycrafter_tpu import hostops as _hostops
+except ImportError:  # pragma: no cover - depends on build_ext having run
+    _hostops = None
+
+
+def u8_to_f01(x: np.ndarray) -> np.ndarray:
+    if _hostops is not None:
+        return _hostops.u8_to_f01(np.ascontiguousarray(x))
+    return x.astype(np.float32) / 255.0
+
+
+def f01_to_u8(x: np.ndarray) -> np.ndarray:
+    if _hostops is not None:
+        return _hostops.f01_to_u8(np.ascontiguousarray(x, np.float32))
+    return (np.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
 
 def read_video_frames(
     video_path: str,
@@ -42,7 +59,7 @@ def read_video_frames(
     cap.release()
     if not frames:
         raise ValueError(f"no frames decoded from {video_path}")
-    return np.stack(frames).astype(np.float32) / 255.0
+    return u8_to_f01(np.stack(frames))
 
 
 def pad_to_length(frames: np.ndarray, length: int) -> np.ndarray:
@@ -57,7 +74,7 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
     """frames (N, H, W, 3) float in [0, 1] (or uint8) -> mp4."""
     frames = np.asarray(frames)
     if frames.dtype != np.uint8:
-        frames = (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+        frames = f01_to_u8(frames.astype(np.float32))
     n, h, w = frames.shape[:3]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     for fourcc_name in ("mp4v", "avc1"):
