@@ -1,0 +1,58 @@
+"""Known-camera-pose entry (reference /root/reference/run_w_cam_poses.py).
+
+Re-renders a source camera's video from a target camera using dataset
+calibration (Panoptic Studio json layout by default).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from trajectorycrafter_tpu.cli import config_from_args, get_parser
+from trajectorycrafter_tpu.known_poses import (
+    CalibratedCamera,
+    CameraPoseTrajCrafter,
+    panoptic_to_camera,
+    undistort_and_resize,
+)
+from trajectorycrafter_tpu.utils.video import pad_to_length, read_video_frames
+
+
+def main(argv=None):
+    parser = get_parser()
+    parser.add_argument("--calib_json", type=str, required=True,
+                        help="Panoptic-style calibration json with a "
+                             "'cameras' list of {name, K, R, t, distCoef}")
+    parser.add_argument("--source_cam", type=str, required=True)
+    parser.add_argument("--target_cam", type=str, required=True)
+    parser.add_argument("--depth_npy", type=str, default=None,
+                        help="optional (F, H, W) metric depth .npy; "
+                             "estimated otherwise")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    with open(args.calib_json) as f:
+        calib = json.load(f)
+    cams = {c.get("name", str(i)): panoptic_to_camera(c)
+            for i, c in enumerate(calib["cameras"])}
+    src, tgt = cams[args.source_cam], cams[args.target_cam]
+
+    frames = read_video_frames(cfg.video_path, cfg.video_length, cfg.stride,
+                               cfg.depth.max_res,
+                               width=cfg.warp_size[1], height=cfg.warp_size[0])
+    frames = pad_to_length(frames, cfg.video_length)
+    frames, k_scaled = undistort_and_resize(frames, src, cfg.warp_size)
+    src = CalibratedCamera(K=k_scaled, R=src.R, t=src.t)
+    depths = np.load(args.depth_npy) if args.depth_npy else None
+
+    tc = CameraPoseTrajCrafter(cfg)
+    tc.infer_camera_poses(frames, depths, src, tgt)
+    print(f"outputs written to {cfg.save_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,21 @@ from trajectorycrafter_tpu.ops.posemb import resized_pos_embedding, timestep_emb
 from trajectorycrafter_tpu.ops.rope import apply_rotary_emb
 
 
+def _constrain(x, *axes):
+    """Best-effort sharding constraint: no-op outside a mesh context."""
+    try:
+        from jax.sharding import PartitionSpec as P
+
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or not mesh.axis_names:
+            return x
+        if not all(a is None or a in mesh.axis_names for a in axes):
+            return x
+        return jax.lax.with_sharding_constraint(x, P(*axes))
+    except Exception:
+        return x
+
+
 class FeedForward(nn.Module):
     """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate')."""
 
@@ -211,6 +226,7 @@ class CrossTransformer3DModel(nn.Module):
     cross_attn_num_heads: int = 16
     attention_impl: str = "auto"
     remat: bool = False
+    shard_activations: bool = False  # dp x sp constraints on the token stream
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -276,6 +292,11 @@ class CrossTransformer3DModel(nn.Module):
             video_tokens = video_tokens + jnp.asarray(table, self.dtype)[None]
 
         hidden, encoder = video_tokens, text_tokens
+        if self.shard_activations:
+            # video tokens sharded over the sequence axis; text replicated.
+            # XLA inserts the all-gathers attention needs (kv gathered over sp).
+            hidden = _constrain(hidden, "dp", "sp", None)
+            encoder = _constrain(encoder, "dp", None, None)
 
         # 4. transformer blocks with interleaved Perceiver cross-attention
         num_cross = self.num_layers // self.cross_attn_interval if self.is_train_cross else 0
