@@ -95,3 +95,26 @@ def test_posterior_sample_stats(tiny_vae, rng):
     z = sample_posterior(moments, jax.random.PRNGKey(0), 4)
     np.testing.assert_allclose(np.asarray(z), 1.5, atol=1e-3)  # ~zero std
     assert np.allclose(np.asarray(posterior_mode(moments, 4)), 1.5)
+
+
+def test_tiled_decode_close_to_full(tiny_vae, rng):
+    """Tiled decode with overlap blending ~= full decode away from seams."""
+    from trajectorycrafter_tpu.models.vae import vae_decode_tiled
+
+    model, params = tiny_vae
+    z = jnp.asarray(rng.standard_normal((1, 2, 8, 12, 4)).astype(np.float32)) * 0.5
+    full = np.asarray(vae_decode(model, params, z))
+    tiled = np.asarray(vae_decode_tiled(model, params, z,
+                                        tile_latent_height=6, tile_latent_width=6))
+    assert tiled.shape == full.shape
+    # tiles see different GroupNorm statistics than the full frame (same
+    # approximation as the reference's tiled_decode), so equality is only
+    # statistical: outputs stay correlated and finite
+    assert np.all(np.isfinite(tiled))
+    denom = np.abs(full).mean() + 1e-6
+    assert np.abs(tiled - full).mean() / denom < 1.5
+    # random weights amplify per-tile GroupNorm-stat differences; with
+    # trained weights tiled ~= full (reference behaviour). Positive
+    # correlation is the meaningful random-weight invariant.
+    corr = np.corrcoef(tiled.reshape(-1), full.reshape(-1))[0, 1]
+    assert corr > 0.2, corr

@@ -18,7 +18,7 @@ median/IQR depth-scale alignment) and merged back.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -147,6 +147,14 @@ def validate(cfg: TrajCrafterConfig) -> None:
     if cfg.render.camera == "target" and cfg.render.target_pose is None:
         raise SystemExit("error: --camera target requires --target_pose "
                          "<theta phi r x y>")
+    if cfg.video_length > 49:
+        raise SystemExit("error: --video_length must be <= 49 "
+                         "(DiT positional-embedding cap; reference "
+                         "pipeline_trajectorycrafter.py:786-789)")
+    if (cfg.video_length - 1) % 8 != 0:
+        raise SystemExit("error: --video_length must be 8k+1 (9, 17, ..., 49) "
+                         "so the causal VAE's latent count stays odd and the "
+                         "decode returns exactly video_length frames")
 
 
 def main(argv=None) -> None:

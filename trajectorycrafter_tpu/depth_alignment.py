@@ -15,7 +15,7 @@ alignment is jit-compiled optax with ``lax.scan`` over optimisation steps.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

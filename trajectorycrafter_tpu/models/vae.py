@@ -473,6 +473,65 @@ def vae_decode(model: AutoencoderKLCogVideoX, params, latents: jnp.ndarray) -> j
     return jnp.concatenate([dec0, ds], axis=1)
 
 
+def vae_decode_tiled(
+    model: AutoencoderKLCogVideoX,
+    params,
+    latents: jnp.ndarray,  # (B, T_lat, H/8, W/8, C)
+    tile_latent_height: int = 30,
+    tile_latent_width: int = 45,
+    overlap_factor_h: float = 1.0 / 6.0,
+    overlap_factor_w: float = 1.0 / 5.0,
+) -> jnp.ndarray:
+    """Spatially tiled decode with linear overlap blending
+    (reference autoencoder_magvit.py:1302-1392 ``tiled_decode``).
+
+    Memory option for large frames: each latent tile decodes independently
+    (temporal chunking inside vae_decode still applies); rows/columns blend
+    over the overlap with linear ramps.  Matches the reference's tiling
+    arithmetic: stride = tile * (1 - overlap), pixel blend extent =
+    8 * tile * overlap.
+    """
+    b, t, h, w, c = latents.shape
+    overlap_h = int(tile_latent_height * (1 - overlap_factor_h))
+    overlap_w = int(tile_latent_width * (1 - overlap_factor_w))
+    blend_h_px = int(8 * tile_latent_height * overlap_factor_h)
+    blend_w_px = int(8 * tile_latent_width * overlap_factor_w)
+    row_limit_h = tile_latent_height * 8 - blend_h_px
+    row_limit_w = tile_latent_width * 8 - blend_w_px
+
+    rows = []
+    for i in range(0, h, overlap_h):
+        row = []
+        for j in range(0, w, overlap_w):
+            tile = latents[:, :, i : i + tile_latent_height, j : j + tile_latent_width]
+            row.append(vae_decode(model, params, tile))
+        rows.append(row)
+
+    def blend_v(a, bt, extent):
+        extent = min(a.shape[2], bt.shape[2], extent)
+        ramp = (jnp.arange(extent) / extent).reshape(1, 1, extent, 1, 1)
+        mixed = a[:, :, -extent:] * (1 - ramp) + bt[:, :, :extent] * ramp
+        return jnp.concatenate([mixed, bt[:, :, extent:]], axis=2)
+
+    def blend_h(a, bt, extent):
+        extent = min(a.shape[3], bt.shape[3], extent)
+        ramp = (jnp.arange(extent) / extent).reshape(1, 1, 1, extent, 1)
+        mixed = a[:, :, :, -extent:] * (1 - ramp) + bt[:, :, :, :extent] * ramp
+        return jnp.concatenate([mixed, bt[:, :, :, extent:]], axis=3)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend_v(rows[i - 1][j], tile, blend_h_px)
+            if j > 0:
+                tile = blend_h(row[j - 1], tile, blend_w_px)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)[:, :, : h * 8, : w * 8]
+
+
 def sample_posterior(moments: jnp.ndarray, key, latent_channels: int = 16):
     """DiagonalGaussian sample from concatenated (mean, logvar) moments."""
     mean = moments[..., :latent_channels]

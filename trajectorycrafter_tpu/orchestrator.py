@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 import os
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -39,7 +39,7 @@ from trajectorycrafter_tpu.geometry.trajectory import (
 )
 from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
 from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
-from trajectorycrafter_tpu.ops.resize import resize_linear, resize_nearest
+from trajectorycrafter_tpu.ops.resize import resize_nearest
 from trajectorycrafter_tpu.ops.splat import forward_warp_batch
 from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
 from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY

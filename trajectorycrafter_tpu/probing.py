@@ -12,8 +12,7 @@ flax's ``capture_intermediates`` -- the forward stays a pure jit program.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence
 
 import flax.linen as nn
 import jax
