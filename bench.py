@@ -126,6 +126,38 @@ def main():
     latents.block_until_ready()
     step_s = (time.time() - t0) / iters
 
+    # secondary: the reference's own denoise resolution (384x672 -> 13,330
+    # tokens), directly comparable to the 290 s/video A100 anchor
+    step384_s = None
+    if not small:
+        f2, h2, w2 = 13, 48, 84
+        cos2, sin2 = rope_for_sample(head_dim, h2 * 8, w2 * 8, f2)
+        rope2 = (jnp.asarray(cos2), jnp.asarray(sin2))
+
+        @jax.jit
+        def denoise_step_384(params, latents, text2, inpaint2, cross2, i):
+            lat_in = jnp.concatenate([latents] * 2, axis=0)
+            tb = jnp.broadcast_to(state.timesteps[i], (b,)).astype(jnp.float32)
+            pred = model.apply(
+                {"params": params}, lat_in.astype(dtype), text2, tb,
+                inpaint_latents=inpaint2, cross_latents=cross2,
+                image_rotary_emb=rope2,
+            ).astype(jnp.float32)
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            return scheduler.step(state, uncond + guidance * (cond - uncond), i, latents)
+
+        lat384 = jax.random.normal(jax.random.PRNGKey(2), (1, f2, h2, w2, 16),
+                                   jnp.float32)
+        inp384 = jnp.zeros((2, f2, h2, w2, 17), dtype)
+        cr384 = jnp.zeros((2, ref_f, h2, w2, 16), dtype)
+        lat384 = denoise_step_384(params, lat384, text2, inp384, cr384, 0)
+        lat384.block_until_ready()
+        t0 = time.time()
+        for i in range(1, iters + 1):
+            lat384 = denoise_step_384(params, lat384, text2, inp384, cr384, i)
+        lat384.block_until_ready()
+        step384_s = (time.time() - t0) / iters
+
     frames_per_s = 49.0 / (step_s * 50.0)
     result = {
         "metric": "denoise_step_latency",
@@ -136,6 +168,11 @@ def main():
         "params_b": round(nparams / 1e9, 3),
         "compile_s": round(compile_s, 1),
     }
+    if step384_s is not None:
+        result["denoise_step_384x672_s"] = round(step384_s, 4)
+        # A100 anchor at this resolution: 290 s * 0.8 / 50 = 4.64 s/step
+        result["vs_baseline_384x672"] = round(290.0 * 0.8 / 50.0 / step384_s, 3)
+        result["est_sec_per_video_384x672"] = round(50.0 * step384_s / 0.8, 1)
     print(json.dumps(result))
 
 

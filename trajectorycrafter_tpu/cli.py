@@ -60,6 +60,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default=d.diffusion.negative_prompt)
     p.add_argument("--refine_prompt", type=str, default=d.diffusion.refine_prompt)
     p.add_argument("--blip_path", type=str, default=d.diffusion.blip_path)
+    p.add_argument("--torch_rng_compat", action="store_true", default=False,
+                   help="draw initial latents with torch's RNG at --seed for "
+                        "bit-comparable outputs vs the reference")
 
     # depth (reference inference.py:134-170)
     p.add_argument("--unet_path", type=str, default=d.depth.unet_path)
@@ -110,6 +113,7 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
     cfg.diffusion.negative_prompt = args.negative_prompt
     cfg.diffusion.refine_prompt = args.refine_prompt
     cfg.diffusion.blip_path = args.blip_path
+    cfg.diffusion.torch_rng_compat = args.torch_rng_compat
 
     cfg.depth.unet_path = args.unet_path
     cfg.depth.pre_train_path = args.pre_train_path

@@ -56,6 +56,7 @@ class DiffusionConfig:
     blip_path: str = "checkpoints/blip2-opt-2.7b"
     noise_aug_strength: float = 0.0563
     use_dynamic_cfg: bool = False
+    torch_rng_compat: bool = False  # draw initial latents with torch's RNG
     ref_frames: int = 10  # reference frames fed to the Perceiver branch
 
 

@@ -232,6 +232,16 @@ class TrajCrafter:
         pe, ne = self.models.encode_prompt(prompt, cfg.diffusion.negative_prompt)
         ref = jnp.asarray(frames_s[ref_slice][None])  # (1, F_ref, H, W, 3)
         mask_video = (1.0 - masks_s)[..., None] * 255.0  # 255 = hole
+        latents = None
+        if cfg.diffusion.torch_rng_compat:
+            from trajectorycrafter_tpu.utils.torch_compat import (
+                reference_initial_latents,
+            )
+
+            latents = jnp.asarray(reference_initial_latents(
+                1, (f - 1) // 4 + 1, self.models.pipeline.vae.latent_channels,
+                hs // 8, ws // 8, cfg.seed,
+            ))
         sample = self.models.pipeline(
             pe, ne,
             jnp.asarray(cond_s[None]),
@@ -241,6 +251,7 @@ class TrajCrafter:
             guidance_scale=cfg.diffusion.guidance_scale,
             use_dynamic_cfg=cfg.diffusion.use_dynamic_cfg,
             key=jax.random.PRNGKey(cfg.seed),
+            latents=latents,
             noise_aug_strength=cfg.diffusion.noise_aug_strength,
         )
         gen = np.asarray(sample[0])  # (F, H, W, 3) in [0, 1]
