@@ -59,6 +59,12 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
     model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype, **kwargs)
     sd = load_safetensors_dir(transformer_path)
     params = convert_dit(sd, model.num_layers, model.cross_attn_interval)
+    # shape-adaptive patch embed (reference from_pretrained_2d channel pad/crop)
+    from trajectorycrafter_tpu.utils.convert import adapt_patch_embed_in_channels
+
+    params["patch_embed_proj"]["kernel"] = adapt_patch_embed_in_channels(
+        params["patch_embed_proj"]["kernel"], model.in_channels
+    )
     return model, _cast_tree(params, dtype)
 
 

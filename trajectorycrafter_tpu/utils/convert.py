@@ -452,6 +452,24 @@ def convert_clip_vision(sd: Mapping[str, Array], num_layers: int) -> Dict[str, A
     return params
 
 
+def adapt_patch_embed_in_channels(kernel: Array, target_in: int) -> Array:
+    """Shape-adaptive patch-embed loading (reference
+    crosstransformer3d.py:912-950 ``from_pretrained_2d``): when the
+    checkpoint's conv has fewer input channels than the model (e.g. loading
+    the 33-channel inpaint model from a 16/17-channel base), extra input
+    channels are zero-initialised; when it has more, the surplus is cropped.
+
+    kernel layout: flax conv (kh, kw, in, out).
+    """
+    kh, kw, cin, cout = kernel.shape
+    if cin == target_in:
+        return kernel
+    if cin < target_in:
+        pad = np.zeros((kh, kw, target_in - cin, cout), kernel.dtype)
+        return np.concatenate([kernel, pad], axis=2)
+    return kernel[:, :, :target_in, :]
+
+
 def load_safetensors_dir(path: str) -> Dict[str, Array]:
     """Load all *.safetensors files in a directory into one flat dict."""
     import glob
