@@ -194,8 +194,9 @@ class PerceiverCrossAttention(nn.Module):
         q = q.reshape(b, s_vid, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
         v = v.reshape(b, -1, self.heads, self.head_dim)
-        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
-                                   impl=self.attention_impl)
+        # the reference-token kv is short and replicated -- never ring-shard it
+        impl = "xla" if self.attention_impl == "ring" else self.attention_impl
+        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5, impl=impl)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(out)
 

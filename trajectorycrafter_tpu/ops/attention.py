@@ -92,6 +92,12 @@ def multi_head_attention(
         impl = "flash" if (on_tpu and s * k.shape[1] >= 1024 * 1024) else "xla"
     if impl == "flash":
         out = _flash_attention(qt, kt, vt, scale)
+    elif impl == "ring":
+        # true sequence-parallel attention over the ambient mesh's sp axis
+        from trajectorycrafter_tpu.ops.ring_attention import ring_attention
+
+        mesh = jax.sharding.get_abstract_mesh()
+        out = ring_attention(qt, kt, vt, mesh, axis_name="sp", scale=scale)
     else:
         out = _xla_attention(qt, kt, vt, scale)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d)

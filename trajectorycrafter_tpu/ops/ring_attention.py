@@ -1,0 +1,90 @@
+"""Ring attention: true sequence-parallel attention over the ``sp`` mesh axis.
+
+Why this exists: XLA cannot partition a Pallas custom call, so under naive
+sp-sharding the flash-attention kernel would force an all-gather of K/V and
+replicate the full softmax work on every chip.  Ring attention keeps q
+sharded, rotates the K/V shards around the ring (``jax.lax.ppermute``), and
+combines the per-shard partial attentions with online-softmax statistics --
+the heads x S^2 score work (the measured VPU bottleneck, docs/COVERAGE.md)
+then divides linearly across the sp axis.
+
+The inner per-shard attention is pluggable: the default einsum path (exact,
+used for CPU-mesh validation) or any kernel returning (out, logsumexp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _attention_with_lse(q, k, v, scale) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact blockwise attention returning (out, lse); (B, H, S, D) layout."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(jnp.float32)
+    lse = (m + jnp.log(l))[..., 0]  # (B, H, Sq)
+    return out / jnp.maximum(l, 1e-30), lse
+
+
+def _combine(o1, lse1, o2, lse2):
+    """Merge two attention partials with their logsumexps."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)[..., None]
+    w2 = jnp.exp(lse2 - m)[..., None]
+    o = (o1 * w1 + o2 * w2) / (w1 + w2)
+    lse = m + jnp.log(jnp.exp(lse1 - m) + jnp.exp(lse2 - m))
+    return o, lse
+
+
+def ring_attention(
+    q: jnp.ndarray,  # (B, H, S, D) -- S sharded over axis_name inside shard_map
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh,
+    axis_name: str = "sp",
+    scale: float = None,
+    inner: Callable = _attention_with_lse,
+) -> jnp.ndarray:
+    """Full (non-causal) attention with S sharded over ``axis_name``.
+
+    Inputs/outputs are global arrays; shard_map handles the distribution.
+    Each ring step computes q_local x kv_visiting and folds the result into
+    the running online-softmax state while the kv shard travels to the next
+    device (guide pattern: ring collectives).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis_name]
+
+    def local(q_l, k_l, v_l):
+        def step(carry, _):
+            o_acc, lse_acc, k_cur, v_cur = carry
+            o_i, lse_i = inner(q_l, k_cur, v_cur, scale)
+            o_acc, lse_acc = _combine(o_acc, lse_acc, o_i, lse_i)
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+            return (o_acc, lse_acc, k_nxt, v_nxt), None
+
+        # the carry must be marked "varying" over the ring axis for scan
+        o0 = jax.lax.pvary(
+            jnp.zeros(q_l.shape[:3] + (v_l.shape[-1],), jnp.float32), (axis_name,)
+        )
+        lse0 = jax.lax.pvary(
+            jnp.full(q_l.shape[:3], -jnp.inf, jnp.float32), (axis_name,)
+        )
+        (o, _, _, _), _ = jax.lax.scan(step, (o0, lse0, k_l, v_l), None, length=n)
+        return o.astype(q_l.dtype)
+
+    spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+    return fn(q, k, v)
