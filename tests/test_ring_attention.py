@@ -79,3 +79,42 @@ def test_dit_with_ring_attention_matches_xla(rng):
             lambda p, *a: ringed.apply({"params": p}, *a)
         )(params, *args))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_flash_lse_kernel_matches_exact(rng):
+    """Pallas flash-with-lse (interpret mode) == exact attention + lse."""
+    from trajectorycrafter_tpu.ops.pallas.flash_lse import flash_attention_with_lse
+
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    scale = d**-0.5
+    want_o, want_lse = _attention_with_lse(q, k, v, scale)
+    got_o, got_lse = flash_attention_with_lse(q, k, v, sm_scale=scale,
+                                              block_q=128, block_k=128,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse), atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ring_with_flash_inner(rng):
+    """Ring attention with the pallas inner (interpret) == full attention."""
+    from trajectorycrafter_tpu.ops.pallas.flash_lse import flash_attention_with_lse
+
+    def inner(q, k, v, scale):
+        o, lse = flash_attention_with_lse(q, k, v, sm_scale=scale,
+                                          block_q=128, block_k=128,
+                                          interpret=True)
+        return o.astype(jnp.float32), lse
+
+    b, h, s, d = 1, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    got = np.asarray(ring_attention(q, k, v, mesh, scale=scale, inner=inner))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -85,6 +85,7 @@ def ring_attention(
         return o.astype(q_l.dtype)
 
     spec = P(None, None, axis_name, None)
+    # check_vma off: pallas_call inner kernels don't annotate varying axes
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                       out_specs=spec)
+                       out_specs=spec, check_vma=False)
     return fn(q, k, v)
