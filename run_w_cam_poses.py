@@ -41,12 +41,19 @@ def main(argv=None):
             for i, c in enumerate(calib["cameras"])}
     src, tgt = cams[args.source_cam], cams[args.target_cam]
 
+    # read at NATIVE resolution: undistortion must run with the calibrated
+    # K/distCoef before any resize (reference run_w_cam_poses.py:71-149)
     frames = read_video_frames(cfg.video_path, cfg.video_length, cfg.stride,
-                               cfg.depth.max_res,
-                               width=cfg.warp_size[1], height=cfg.warp_size[0])
+                               cfg.depth.max_res, width=None, height=None)
     frames = pad_to_length(frames, cfg.video_length)
+    native_hw = frames.shape[1:3]
     frames, k_scaled = undistort_and_resize(frames, src, cfg.warp_size)
     src = CalibratedCamera(K=k_scaled, R=src.R, t=src.t)
+    # rescale the target camera's intrinsics by the same factors
+    tgt_k = tgt.K.copy()
+    tgt_k[0] *= cfg.warp_size[1] / native_hw[1]
+    tgt_k[1] *= cfg.warp_size[0] / native_hw[0]
+    tgt = CalibratedCamera(K=tgt_k, R=tgt.R, t=tgt.t)
     depths = np.load(args.depth_npy) if args.depth_npy else None
 
     tc = CameraPoseTrajCrafter(cfg)

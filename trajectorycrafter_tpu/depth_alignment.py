@@ -58,7 +58,7 @@ def apply_alignment(depth: jnp.ndarray, params: AlignParams) -> jnp.ndarray:
     return depth * scale + params.shift[:, None, None]
 
 
-@partial(jax.jit, static_argnames=("steps",))
+@partial(jax.jit, static_argnames=("steps", "ssi_weight"))
 def align_window(
     depth: jnp.ndarray,  # (F, H, W) estimated depth
     ref_depth: jnp.ndarray,  # (F, H, W) rendered/warped reference depth
@@ -66,9 +66,13 @@ def align_window(
     steps: int = 200,
     lr: float = 0.05,
     tae_weight: float = 0.1,
+    ssi_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Optimise per-frame (scale, shift) so depth matches ref where valid and
-    stays temporally smooth -> (aligned_depth, final_loss)."""
+    stays temporally smooth -> (aligned_depth, final_loss).
+
+    ``ssi_weight`` adds the scale-shift-invariant disparity term on top of
+    the masked L1 (reference uses both, depth_losses.py)."""
     f = depth.shape[0]
     params = AlignParams(jnp.zeros((f,)), jnp.zeros((f,)))
     opt = optax.adam(lr)
@@ -77,7 +81,11 @@ def align_window(
     def loss_fn(p):
         aligned = apply_alignment(depth, p)
         data = jnp.sum(mask * jnp.abs(aligned - ref_depth)) / jnp.maximum(mask.sum(), 1.0)
-        return data + tae_weight * temporal_alignment_error(aligned)
+        loss = data + tae_weight * temporal_alignment_error(aligned)
+        if ssi_weight > 0.0:
+            loss = loss + ssi_weight * scale_shift_invariant_loss(
+                aligned, ref_depth, mask)
+        return loss
 
     def step(carry, _):
         p, s = carry
@@ -110,18 +118,25 @@ def estimate_depth_with_alignment(
 
     out = np.zeros_like(depths)
     weight = np.zeros((f, 1, 1), np.float32)
-    for wi, s in enumerate(starts):
+    prev_start = None
+    for s in starts:
         aligned, _ = align_window(
             jnp.asarray(depths[s : s + infer_len]),
             jnp.asarray(ref_depths[s : s + infer_len]),
             jnp.asarray(ref_masks[s : s + infer_len]),
             steps=steps,
         )
+        # positional overlap (the tail catch-up window overlaps more than
+        # ``overlap`` frames)
+        ov = 0
+        if prev_start is not None:
+            ov = min(max(prev_start + infer_len - s, 0), infer_len)
         ramp = np.ones((infer_len, 1, 1), np.float32)
-        if wi > 0 and overlap > 0:
-            ramp[:overlap, 0, 0] = np.linspace(0, 1, overlap + 2)[1:-1]
+        if ov > 0:
+            ramp[:ov, 0, 0] = np.linspace(0, 1, ov + 2)[1:-1]
         out[s : s + infer_len] += np.asarray(aligned) * ramp
         weight[s : s + infer_len] += ramp
+        prev_start = s
     return out / np.maximum(weight, 1e-8)
 
 

@@ -300,7 +300,6 @@ class CrossTransformer3DModel(nn.Module):
             encoder = _constrain(encoder, "dp", None, None)
 
         # 4. transformer blocks with interleaved Perceiver cross-attention
-        num_cross = self.num_layers // self.cross_attn_interval if self.is_train_cross else 0
         block_cls = CogVideoXBlock
         if self.remat:
             block_cls = nn.remat(CogVideoXBlock, static_argnums=())

@@ -137,6 +137,9 @@ def int8_flash_attention(
     vq, _ = _pad_seq(vq, pad_block)
     sp = qq.shape[2]
 
+    assert sp % block_q == 0 and sp % block_k == 0, (
+        f"padded seq {sp} must be divisible by block_q={block_q} and "
+        f"block_k={block_k}; a floor-divided kv grid would silently drop keys")
     bh = b * h
     qq = qq.reshape(bh, sp, d)
     kq = kq.reshape(bh, sp, d)

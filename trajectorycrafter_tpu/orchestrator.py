@@ -198,6 +198,12 @@ class TrajCrafter:
         """Resize to sample_size, save artefacts, run diffusion, save outputs.
 
         frames/cond_video: (F, H, W, 3) in [0, 1]; cond_masks: (F, H, W).
+
+        ``save_skip`` implements the direct mode's saving scheme
+        (reference demo.py:241-303): gen/render/mask drop the first ``cut``
+        frames (the camera fly-in), input keeps the first ``n-cut`` source
+        frames, and the viz pairs input[k] with gen[cut+k] -- gen[cut+k] was
+        generated from source frame k.
         """
         cfg = self.cfg
         hs, ws = cfg.diffusion.sample_size
@@ -221,7 +227,7 @@ class TrajCrafter:
         )[:, 0]
 
         os.makedirs(cfg.save_dir, exist_ok=True)
-        save_video(frames_s[save_skip:] if save_skip else frames_s,
+        save_video(frames_s[: f - save_skip] if save_skip else frames_s,
                    os.path.join(cfg.save_dir, "input.mp4"), fps=cfg.fps)
         save_video(cond_s[save_skip:] if save_skip else cond_s,
                    os.path.join(cfg.save_dir, "render.mp4"), fps=cfg.fps)
@@ -258,8 +264,9 @@ class TrajCrafter:
         save_video(gen[save_skip:] if save_skip else gen,
                    os.path.join(cfg.save_dir, "gen.mp4"), fps=cfg.fps)
 
-        # side-by-side viz with boomerang reverse (reference demo.py:155-167)
-        left = frames_s[save_skip:] if save_skip else frames_s
+        # side-by-side viz with boomerang reverse (reference demo.py:155-167);
+        # for direct mode: left = source frame k, right = gen[cut+k]
+        left = frames_s[: f - save_skip] if save_skip else frames_s
         right = gen[save_skip:] if save_skip else gen
         gap = np.ones((left.shape[0], hs, 30, 3), np.float32)
         viz = np.concatenate([left, gap, right], axis=2)
@@ -285,6 +292,9 @@ class TrajCrafter:
 
     def infer_direct(self, cut: int = 20):
         cfg = self.cfg
+        # the reference fixes cut=20 for 49-frame videos (demo.py:170); clamp
+        # for shorter clips so the fly-in never consumes the whole video
+        cut = max(1, min(cut, cfg.video_length // 2))
         frames = self._load_frames()
         prompt = self.models.get_caption(frames[cfg.video_length // 2]) + \
             cfg.diffusion.refine_prompt

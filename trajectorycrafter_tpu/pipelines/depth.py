@@ -111,29 +111,37 @@ class DepthCrafterPipeline:
 
         latents_all = jnp.zeros((f,) + cond_latents.shape[1:], jnp.float32)
         counts = jnp.zeros((f, 1, 1, 1), jnp.float32)
-        prev_tail = None
+        prev_start = None
+        prev_lat = None
         for wi, s in enumerate(starts):
             key, sub = jax.random.split(key)
             win_cond = cond_latents[s : s + window_size]
             win_ctx = ctx[s : s + window_size]
             noise = jax.random.normal(sub, win_cond.shape, jnp.float32)
             init = noise * state.init_noise_sigma
-            if prev_tail is not None:
-                # seed the overlap with the previous window's denoised latents
-                # re-noised to sigma_max for temporal consistency
-                reno = prev_tail + noise[:overlap] * state.init_noise_sigma
-                init = jnp.concatenate([reno, init[overlap:]], axis=0)
+            # positional overlap with the previous window (handles the
+            # non-uniform catch-up window at the video tail)
+            ov = 0
+            if prev_start is not None:
+                ov = min(max(prev_start + window_size - s, 0), window_size)
+            if ov > 0:
+                # seed overlapping frames with the previous window's denoised
+                # latents for those SAME global frames, re-noised to sigma_max
+                anchor = prev_lat[s - prev_start : s - prev_start + ov]
+                reno = anchor + noise[:ov] * state.init_noise_sigma
+                init = jnp.concatenate([reno, init[ov:]], axis=0)
             win_lat = _denoise_window_jit(
                 self.unet, self.unet_params, self.scheduler, state,
-                init, win_cond, win_ctx, added, num_inference_steps, self.dtype,
+                init, win_cond, win_ctx, added, num_inference_steps,
+                float(guidance_scale), self.dtype,
             )
             ramp = jnp.ones((window_size, 1, 1, 1), jnp.float32)
-            if wi > 0:
-                r = jnp.linspace(0.0, 1.0, overlap + 2)[1:-1]
-                ramp = ramp.at[:overlap, 0, 0, 0].set(r)
+            if ov > 0:
+                r = jnp.linspace(0.0, 1.0, ov + 2)[1:-1]
+                ramp = ramp.at[:ov, 0, 0, 0].set(r)
             latents_all = latents_all.at[s : s + window_size].add(win_lat * ramp)
             counts = counts.at[s : s + window_size].add(ramp)
-            prev_tail = win_lat[-overlap:] if overlap > 0 else None
+            prev_start, prev_lat = s, win_lat
 
         latents_all = latents_all / jnp.maximum(counts, 1e-8)
         dec = self.vae.apply(
@@ -145,18 +153,37 @@ class DepthCrafterPipeline:
         return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
 
 
-@partial(jax.jit, static_argnames=("unet", "scheduler", "num_steps", "dtype"))
+@partial(jax.jit, static_argnames=("unet", "scheduler", "num_steps",
+                                   "guidance_scale", "dtype"))
 def _denoise_window_jit(unet, params, scheduler, state, latents, cond_latents,
-                        ctx, added, num_steps, dtype):
-    """Full Euler denoise of one window as a single fori_loop program."""
+                        ctx, added, num_steps, guidance_scale, dtype):
+    """Full Euler denoise of one window as a single fori_loop program.
+
+    guidance_scale > 1 runs SVD-style CFG: the unconditional branch gets
+    zeroed CLIP embeddings and zeroed conditioning latents.
+    """
+    do_cfg = guidance_scale > 1.0
 
     def body(i, lat):
         scaled = scheduler.scale_model_input(state, lat, i)
-        x_in = jnp.concatenate([scaled, cond_latents], axis=-1)[None]
-        t = jnp.broadcast_to(state.timesteps[i], (1,))
-        pred = unet.apply(
-            {"params": params}, x_in.astype(dtype), t, ctx[None], added,
-        )[0].astype(jnp.float32)
+        if do_cfg:
+            x_in = jnp.stack([
+                jnp.concatenate([scaled, jnp.zeros_like(cond_latents)], axis=-1),
+                jnp.concatenate([scaled, cond_latents], axis=-1),
+            ])
+            ctx_in = jnp.stack([jnp.zeros_like(ctx), ctx])
+            t = jnp.broadcast_to(state.timesteps[i], (2,))
+            added_in = jnp.concatenate([added] * 2, axis=0)
+            pred = unet.apply(
+                {"params": params}, x_in.astype(dtype), t, ctx_in, added_in,
+            ).astype(jnp.float32)
+            pred = pred[0] + guidance_scale * (pred[1] - pred[0])
+        else:
+            x_in = jnp.concatenate([scaled, cond_latents], axis=-1)[None]
+            t = jnp.broadcast_to(state.timesteps[i], (1,))
+            pred = unet.apply(
+                {"params": params}, x_in.astype(dtype), t, ctx[None], added,
+            )[0].astype(jnp.float32)
         return scheduler.step(state, pred, i, lat)
 
     return jax.lax.fori_loop(0, num_steps, body, latents)

@@ -37,10 +37,17 @@ def read_video_frames(
     process_length: int,
     stride: int = 1,
     max_res: int = 1024,
-    width: int = 1024,
-    height: int = 576,
+    width: Optional[int] = 1024,
+    height: Optional[int] = 576,
 ) -> np.ndarray:
-    """-> (N, height, width, 3) float32 RGB in [0, 1]."""
+    """-> (N, height, width, 3) float32 RGB in [0, 1].
+
+    ``width=None``/``height=None`` keeps the native resolution (needed by the
+    known-pose pipelines, which must undistort before resizing).
+    ``max_res`` is accepted for reference-CLI parity but -- exactly like the
+    reference (models/utils.py:38-48, 'FIXME: hard coded') -- does not change
+    the fixed decode size.
+    """
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {video_path}")
@@ -51,7 +58,9 @@ def read_video_frames(
         if not ok:
             break
         if idx % stride == 0:
-            frame = cv2.resize(frame, (width, height), interpolation=cv2.INTER_LINEAR)
+            if width is not None and height is not None:
+                frame = cv2.resize(frame, (width, height),
+                                   interpolation=cv2.INTER_LINEAR)
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
             if process_length != -1 and len(frames) >= process_length:
                 break
@@ -73,6 +82,8 @@ def pad_to_length(frames: np.ndarray, length: int) -> np.ndarray:
 def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
     """frames (N, H, W, 3) float in [0, 1] (or uint8) -> mp4."""
     frames = np.asarray(frames)
+    if frames.shape[0] == 0:
+        raise ValueError(f"refusing to write empty video to {path}")
     if frames.dtype != np.uint8:
         frames = f01_to_u8(frames.astype(np.float32))
     n, h, w = frames.shape[:3]
