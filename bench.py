@@ -48,10 +48,103 @@ def synth_params(model, example_args, key, dtype):
     )
 
 
+def virtual_mesh_main(n_devices: int = 8):
+    """Sharded == unsharded denoise-step check on a virtual CPU mesh, with
+    per-layout wall-clock (correctness of the --mesh_dp/sp/tp inference path;
+    VERDICT round-1 item 2).  Bootstraps host devices in a subprocess when the
+    node exposes fewer than n_devices (same recipe as __graft_entry__)."""
+    import os
+    import subprocess
+
+    if len(jax.devices()) < n_devices:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            t for t in env.get("XLA_FLAGS", "").split()
+            if "host_platform_device_count" not in t
+        )
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import bench; bench.virtual_mesh_main()\n"
+        )
+        raise SystemExit(subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).returncode)
+
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.parallel import dit_param_sharding, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # ring attention shards the joint [text; video] sequence, so pick sizes
+    # with (text_len + video_tokens) divisible by every sp used below:
+    # 16 + 5*8*12 = 496 = 8 * 62
+    heads, head_dim, layers, text_len = 4, 32, 4, 16
+    f, h, w = 5, 16, 24
+    dtype = jnp.float32
+
+    def build(shard, impl):
+        return CrossTransformer3DModel(
+            num_attention_heads=heads, attention_head_dim=head_dim,
+            num_layers=layers, max_text_seq_length=text_len,
+            in_channels=33, out_channels=16,
+            time_embed_dim=64, text_embed_dim=128,
+            use_rotary_positional_embeddings=True, attention_impl=impl,
+            shard_activations=shard, dtype=dtype, param_dtype=dtype,
+        )
+
+    model = build(False, "xla")
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (2, f, h, w, 16), dtype)
+    text = jax.random.normal(jax.random.PRNGKey(2), (2, text_len, 128), dtype)
+    tvec = jnp.full((2,), 311.0)
+    inpaint = jax.random.normal(jax.random.PRNGKey(3), (2, f, h, w, 17), dtype)
+    cross = jax.random.normal(jax.random.PRNGKey(4), (2, 1, h, w, 16), dtype)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), hidden, text, tvec, inpaint, cross
+    )["params"]
+    args = (hidden, text, tvec, inpaint, cross)
+
+    def timed(fn, p, a):
+        out = jax.block_until_ready(fn(p, *a))
+        t0 = time.time()
+        for _ in range(3):
+            out = jax.block_until_ready(fn(p, *a))
+        return np.asarray(out), (time.time() - t0) / 3
+
+    want, t_single = timed(
+        jax.jit(lambda p, *a: model.apply({"params": p}, *a)), params, args
+    )
+
+    layouts = {"dp2_sp2_tp2": (2, 2, 2), "sp8": (1, 8, 1), "tp4_dp2": (2, 1, 4)}
+    result = {"metric": "virtual_mesh_parity", "unit": "s/step (virtual CPU mesh)",
+              "n_devices": n_devices, "single_device_s": round(t_single, 4),
+              "value": 1, "vs_baseline": 1.0}
+    for name, (dp, sp, tp) in layouts.items():
+        mesh = make_mesh(dp=dp, sp=sp, tp=tp)
+        m = build(True, "ring" if sp > 1 else "xla")
+        p_s = jax.device_put(params, dit_param_sharding(params, mesh))
+        a_s = [jax.device_put(
+            x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))) for x in args]
+        with jax.set_mesh(mesh):
+            got, t = timed(
+                jax.jit(lambda p, *a: m.apply({"params": p}, *a)), p_s, a_s
+            )
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+        result[f"{name}_s"] = round(t, 4)
+        print(f"# {name}: {t:.4f}s (single {t_single:.4f}s) parity OK",
+              file=sys.stderr)
+    print(json.dumps(result))
+
+
 def main():
     from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    if "--virtual_mesh" in sys.argv:
+        return virtual_mesh_main()
     small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
 
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel

@@ -71,6 +71,67 @@ def test_param_sharding_rules_split_heads():
     assert norm.spec == P()
 
 
+def _tiny_pipeline(text_len=6):
+    """Tiny VAE+DiT pipeline whose joint sequence (text 6 + video 18 = 24
+    tokens) divides the sp axis, for sharded full-__call__ tests."""
+    from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
+    from trajectorycrafter_tpu.pipelines import TrajCrafterPipeline
+    from trajectorycrafter_tpu.schedulers import DDIMScheduler
+
+    lc = 4
+    vae = AutoencoderKLCogVideoX(
+        latent_channels=lc, block_out_channels=(8, 16, 16, 32),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 32, 48, 3)))["params"]
+    dit = CrossTransformer3DModel(
+        num_attention_heads=2, attention_head_dim=16,
+        in_channels=2 * lc + 1, out_channels=lc,
+        time_embed_dim=16, text_embed_dim=32, num_layers=2,
+        sample_width=12, sample_height=8, sample_frames=9,
+        max_text_seq_length=text_len, cross_attn_dim_head=8, cross_attn_num_heads=4,
+        use_rotary_positional_embeddings=True, attention_impl="xla",
+        dtype=jnp.float32,
+    )
+    b, f, h, w = 1, 3, 4, 6
+    dit_params = dit.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((b, f, h, w, lc)), jnp.zeros((b, text_len, 32)), jnp.zeros((b,)),
+        jnp.zeros((b, f, h, w, lc + 1)), jnp.zeros((b, 1, h, w, lc)),
+    )["params"]
+    return TrajCrafterPipeline(
+        vae=vae, vae_params=vae_params, transformer=dit,
+        transformer_params=dit_params,
+        scheduler=DDIMScheduler(prediction_type="v_prediction"),
+        dtype=jnp.float32,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_pipeline_call_matches_unsharded():
+    """Full TrajCrafterPipeline.__call__ (condition prep + CFG denoise loop
+    + decode) over a dp=2 x sp=2 x tp=2 mesh matches the single-device run.
+    This is the driver-facing inference scale-out path (--mesh_dp/sp/tp)."""
+    pipe = _tiny_pipeline()
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.uniform(0, 1, (1, 9, 32, 48, 3)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.uniform(size=(1, 9, 32, 48, 1)) > 0.7).astype(np.float32) * 255.0
+    )
+    reference = jnp.asarray(rng.uniform(0, 1, (1, 2, 32, 48, 3)).astype(np.float32))
+    pe = jnp.asarray(rng.standard_normal((1, 6, 32)).astype(np.float32))
+    ne = jnp.zeros_like(pe)
+    kwargs = dict(num_inference_steps=2, guidance_scale=6.0,
+                  key=jax.random.PRNGKey(43))
+
+    want = np.asarray(pipe(pe, ne, video, mask, reference, **kwargs))
+
+    sharded = pipe.with_mesh(make_mesh(dp=2, sp=2, tp=2))
+    assert sharded.transformer.attention_impl == "ring"
+    got = np.asarray(sharded(pe, ne, video, mask, reference, **kwargs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
 def test_cfg_pair_dp_sharding_pipeline_shape():
     """The CFG pair (batch 2) shards cleanly over dp=2."""

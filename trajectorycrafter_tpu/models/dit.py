@@ -31,18 +31,20 @@ from trajectorycrafter_tpu.ops.rope import apply_rotary_emb
 
 
 def _constrain(x, *axes):
-    """Best-effort sharding constraint: no-op outside a mesh context."""
-    try:
-        from jax.sharding import PartitionSpec as P
+    """Sharding constraint that is a no-op outside a mesh context.
 
-        mesh = jax.sharding.get_abstract_mesh()
-        if mesh is None or not mesh.axis_names:
-            return x
-        if not all(a is None or a in mesh.axis_names for a in axes):
-            return x
-        return jax.lax.with_sharding_constraint(x, P(*axes))
-    except Exception:
+    The mesh probe is deliberately NOT wrapped in a broad try/except: if the
+    jax mesh API changes, this should fail loudly rather than silently turn
+    the sp/tp path into a no-op (round-1 review finding).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.axis_names:
         return x
+    if not all(a is None or a in mesh.axis_names for a in axes):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*axes))
 
 
 class FeedForward(nn.Module):

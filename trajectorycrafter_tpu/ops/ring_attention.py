@@ -75,12 +75,13 @@ def ring_attention(
             return (o_acc, lse_acc, k_nxt, v_nxt), None
 
         # the carry must be marked "varying" over the ring axis for scan
-        o0 = jax.lax.pvary(
-            jnp.zeros(q_l.shape[:3] + (v_l.shape[-1],), jnp.float32), (axis_name,)
-        )
-        lse0 = jax.lax.pvary(
-            jnp.full(q_l.shape[:3], -jnp.inf, jnp.float32), (axis_name,)
-        )
+        _vary = getattr(jax.lax, "pcast", None)
+        if _vary is not None:
+            vary = lambda x: _vary(x, axis_name, to="varying")
+        else:  # older jax
+            vary = lambda x: jax.lax.pvary(x, (axis_name,))
+        o0 = vary(jnp.zeros(q_l.shape[:3] + (v_l.shape[-1],), jnp.float32))
+        lse0 = vary(jnp.full(q_l.shape[:3], -jnp.inf, jnp.float32))
         (o, _, _, _), _ = jax.lax.scan(step, (o0, lse0, k_l, v_l), None, length=n)
         return o.astype(q_l.dtype)
 

@@ -74,6 +74,21 @@ def _plane_depth_infer(frames, near, far, *a, **kw):
     return np.tile(depth[None, None], (f, 1, 1, 1))
 
 
+def maybe_shard_pipeline(cfg: TrajCrafterConfig,
+                         pipeline: TrajCrafterPipeline) -> TrajCrafterPipeline:
+    """Shard the pipeline over a dp x sp x tp mesh when requested via
+    --mesh_dp/--mesh_sp/--mesh_tp (no-op at 1x1x1)."""
+    par = cfg.parallel
+    if par.dp * par.sp * par.tp <= 1:
+        return pipeline
+    from trajectorycrafter_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=par.dp, sp=par.sp, tp=par.tp)
+    print(f"[trajcrafter-tpu] sharding pipeline over mesh "
+          f"dp={par.dp} sp={par.sp} tp={par.tp}")
+    return pipeline.with_mesh(mesh)
+
+
 def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
     """Randomly initialised tiny stack -- full pipeline topology, no weights."""
     lc = 4
@@ -103,10 +118,10 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
         jnp.zeros((1, 3, h, w, lc)),
     )["params"]
     scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
-    pipeline = TrajCrafterPipeline(
+    pipeline = maybe_shard_pipeline(cfg, TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,
         transformer_params=dit_params, scheduler=scheduler, dtype=jnp.float32,
-    )
+    ))
 
     def encode_prompt(prompt, negative):
         return (

@@ -17,6 +17,8 @@ reference (B, F_ref, H, W, 3) in [0, 1].
 
 from __future__ import annotations
 
+import contextlib
+import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional, Tuple
@@ -24,6 +26,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
 from trajectorycrafter_tpu.models.vae import (
@@ -53,6 +56,49 @@ class TrajCrafterPipeline:
     vae_scale_factor_spatial: int = 8
     vae_scale_factor_temporal: int = 4
     dtype: Any = jnp.bfloat16
+    mesh: Any = None  # jax.sharding.Mesh with (dp, sp, tp) axes, or None
+
+    # ------------------------------------------------------------------
+    def with_mesh(self, mesh) -> "TrajCrafterPipeline":
+        """Return a copy sharded over ``mesh`` (dp x sp x tp).
+
+        DiT params are placed tensor-parallel (parallel/sharding.py rules),
+        activation constraints are enabled inside the model (video tokens on
+        sp, CFG pair / batch on dp), and self-attention switches to the ring
+        kernel when sp > 1.  The reference has no inference parallelism at
+        all (SURVEY.md parallelism inventory) -- this is the TPU-native
+        scale-out path.
+        """
+        from trajectorycrafter_tpu.parallel import dit_param_sharding
+
+        sp = mesh.shape.get("sp", 1)
+        transformer = self.transformer.clone(
+            shard_activations=True,
+            attention_impl="ring" if sp > 1 else self.transformer.attention_impl,
+        )
+        t_params = jax.device_put(
+            self.transformer_params, dit_param_sharding(self.transformer_params, mesh)
+        )
+        repl = NamedSharding(mesh, PartitionSpec())
+        vae_params = jax.device_put(
+            self.vae_params, jax.tree.map(lambda _: repl, self.vae_params)
+        )
+        return dataclasses.replace(
+            self, transformer=transformer, transformer_params=t_params,
+            vae_params=vae_params, mesh=mesh,
+        )
+
+    def _mesh_ctx(self):
+        return jax.set_mesh(self.mesh) if self.mesh is not None else contextlib.nullcontext()
+
+    def _put_cfg_batch(self, x):
+        """Place a CFG-pair-batched array on the dp axis (replicate otherwise)."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(
+            x, NamedSharding(self.mesh,
+                             PartitionSpec("dp", *([None] * (x.ndim - 1)))),
+        )
 
     # ------------------------------------------------------------------
     def prepare_conditions(
@@ -96,9 +142,10 @@ class TrajCrafterPipeline:
         h_lat = h // self.vae_scale_factor_spatial
         w_lat = w // self.vae_scale_factor_spatial
 
-        inpaint_latents, ref_latents = self.prepare_conditions(
-            video, mask_video, reference, key_cond, noise_aug_strength
-        )
+        with self._mesh_ctx():
+            inpaint_latents, ref_latents = self.prepare_conditions(
+                video, mask_video, reference, key_cond, noise_aug_strength
+            )
 
         if latents is None:
             shape = (b, f_lat, h_lat, w_lat, self.vae.latent_channels)
@@ -125,16 +172,23 @@ class TrajCrafterPipeline:
             inpaint_in = inpaint_latents
             ref_in = ref_latents
 
-        latents = _denoise_loop_jit(
-            self.transformer, self.transformer_params, self.scheduler, state,
-            latents, text.astype(self.dtype), inpaint_in.astype(self.dtype),
-            ref_in.astype(self.dtype), rope, num_inference_steps,
-            float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
-        )
+        # place the CFG pair on the dp axis; the video-token sequence is
+        # constrained to sp inside the transformer (models/dit.py)
+        text = self._put_cfg_batch(text.astype(self.dtype))
+        inpaint_in = self._put_cfg_batch(inpaint_in.astype(self.dtype))
+        ref_in = self._put_cfg_batch(ref_in.astype(self.dtype))
 
-        if output_type == "latent":
-            return latents
-        frames = _decode_jit(self.vae, self.vae_params, latents, self.vae.scaling_factor)
+        with self._mesh_ctx():
+            latents = _denoise_loop_jit(
+                self.transformer, self.transformer_params, self.scheduler, state,
+                latents, text, inpaint_in, ref_in, rope, num_inference_steps,
+                float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
+            )
+
+            if output_type == "latent":
+                return latents
+            frames = _decode_jit(self.vae, self.vae_params, latents,
+                                 self.vae.scaling_factor)
         return frames
 
 

@@ -96,7 +96,11 @@ def load_full_bundle(cfg) -> "ModelBundle":
     """Assemble the complete inference bundle from a checkpoint directory
     laid out like the reference's (model_name/{vae,text_encoder,scheduler},
     transformer_path/)."""
-    from trajectorycrafter_tpu.orchestrator import ModelBundle, _plane_depth_infer
+    from trajectorycrafter_tpu.orchestrator import (
+        ModelBundle,
+        _plane_depth_infer,
+        maybe_shard_pipeline,
+    )
     from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
     from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
 
@@ -104,10 +108,10 @@ def load_full_bundle(cfg) -> "ModelBundle":
     vae, vae_params = load_vae(os.path.join(cfg.diffusion.model_name, "vae"), dtype)
     dit, dit_params = load_dit(cfg.diffusion.transformer_path, dtype)
     scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
-    pipeline = TrajCrafterPipeline(
+    pipeline = maybe_shard_pipeline(cfg, TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,
         transformer_params=dit_params, scheduler=scheduler, dtype=dtype,
-    )
+    ))
 
     # text encoder (optional; tokenizer requires a local sentencepiece model)
     te_path = os.path.join(cfg.diffusion.model_name, "text_encoder")
