@@ -13,15 +13,21 @@ from trajectorycrafter_tpu.geometry.pointcloud import (
 
 
 def golden_render(points, colors, K, w2c, h, w):
+    """Scalar re-derivation of the reference z-buffer semantics
+    (warper_point_cloud.py:471-486): validity on the unrounded coords and
+    z > 0.01, winner coords rounded then clamped into the frame."""
     cam = points @ w2c[:3, :3].T + w2c[:3, 3]
     proj = cam @ K.T
     z = proj[:, 2]
-    x = np.round(proj[:, 0] / z).astype(int)
-    y = np.round(proj[:, 1] / z).astype(int)
+    xf = proj[:, 0] / z
+    yf = proj[:, 1] / z
+    x = np.clip(np.round(xf), 0, w - 1).astype(int)
+    y = np.clip(np.round(yf), 0, h - 1).astype(int)
     img = np.zeros((h, w, 3), np.float32)
     zbuf = np.full((h, w), np.inf, np.float32)
     for i in np.argsort(-z):  # far to near: near overwrites
-        if z[i] > 0.1 and 0 <= x[i] < w and 0 <= y[i] < h and z[i] <= zbuf[y[i], x[i]]:
+        if (z[i] > 0.01 and 0 <= xf[i] < w and 0 <= yf[i] < h
+                and z[i] <= zbuf[y[i], x[i]]):
             zbuf[y[i], x[i]] = z[i]
             img[y[i], x[i]] = colors[i]
     mask = np.isfinite(zbuf).astype(np.float32)
@@ -91,7 +97,7 @@ def test_point_size_splat():
 
 def test_behind_camera_culled():
     K = np.array([[10.0, 0, 2], [0, 10.0, 2], [0, 0, 1]], np.float32)
-    pts = np.array([[0, 0, -1.0], [0, 0, 0.05]], np.float32)
+    pts = np.array([[0, 0, -1.0], [0, 0, 0.005]], np.float32)  # cull at z<=0.01
     cols = np.ones((2, 3), np.float32)
     img, depth, mask = render_zbuffer(
         jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(K),

@@ -1,0 +1,248 @@
+"""True-golden tests against the reference's own torch implementations.
+
+Rather than validating our kernels against our own numpy re-derivations
+(tests/test_splat.py), these import the actual published algorithm from
+/root/reference (stubbing the unavailable torchvision/decord/skimage imports)
+and assert agreement on random fixtures:
+
+  * ops/splat.forward_warp_single / geometry/warper.forward_warp
+    vs models/utils.py Warper.forward_warp (twice=False / twice=True / mask=True)
+  * geometry/pointcloud.render_zbuffer
+    vs warper_point_cloud.py render_pointcloud_zbuffer_vectorized (+point_size)
+  * geometry/pointcloud.lift_to_pointcloud
+    vs warper_point_cloud.py GlobalPointCloudWarper.lift_to_3d_pointcloud
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def _import_reference(relpath, name):
+    """Import a reference module with its unavailable deps stubbed."""
+    _stub("torchvision")
+    _stub("decord", VideoReader=None, cpu=None, bridge=None)
+    _stub("skimage")
+    _stub("skimage.io", imread=None, imsave=None)
+    spec = importlib.util.spec_from_file_location(name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    return _import_reference("models/utils.py", "ref_models_utils")
+
+
+@pytest.fixture(scope="module")
+def ref_pc():
+    return _import_reference(
+        "notebooks/06_10_25_vggt/warper_point_cloud.py", "ref_warper_pc"
+    )
+
+
+def _warp_fixture(rng, b=2, h=24, w=32):
+    """Smooth positive depth + small relative pose, away from degeneracy."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    depth = 2.0 + 1.5 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+    depth = np.tile(depth[None], (b, 1, 1)) + 0.1 * rng.random((b, h, w), dtype=np.float32)
+    frame = rng.uniform(-1, 1, (b, 3, h, w)).astype(np.float32)
+
+    def pose(tx, ty, tz, ang):
+        c, s = np.cos(ang), np.sin(ang)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        m[:3, 3] = [tx, ty, tz]
+        return m
+
+    t1 = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    t2 = np.stack([pose(0.15, -0.05, 0.1, 0.06), pose(-0.1, 0.08, -0.05, -0.04)])[:b]
+    k = np.array([[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], np.float32)
+    k = np.tile(k[None], (b, 1, 1))
+    return frame, depth, t1, t2, k
+
+
+@pytest.mark.parametrize("twice", [False, True])
+def test_forward_warp_matches_reference(ref_utils, rng, twice):
+    import torch
+
+    frame, depth, t1, t2, k = _warp_fixture(rng)
+    ref_warper = ref_utils.Warper(device="gpu0")  # maps to CPU fp32 (ref gotcha)
+    # call the reference per batch element: its soft z-weight normalisation
+    # (log_depth1.max(), models/utils.py:493-495) spans the whole batch,
+    # whereas production warping is per-frame (demo.py:77-90, b=1)
+    outs = [
+        ref_warper.forward_warp(
+            torch.from_numpy(frame[i : i + 1]), None,
+            torch.from_numpy(depth[i : i + 1, None]),
+            torch.from_numpy(t1[i : i + 1]), torch.from_numpy(t2[i : i + 1]),
+            torch.from_numpy(k[i : i + 1]), None, mask=False, twice=twice,
+        )
+        for i in range(frame.shape[0])
+    ]
+    rw, rm, rd = (torch.cat([o[j] for o in outs]) for j in range(3))
+    rf = None if twice else torch.cat([o[3] for o in outs])
+
+    from trajectorycrafter_tpu.geometry.warper import forward_warp
+
+    ow, om, od, of = forward_warp(
+        jnp.asarray(frame), None, jnp.asarray(depth[:, None]),
+        jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(k), None, twice=twice,
+    )
+    np.testing.assert_allclose(np.asarray(ow), rw.numpy(), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(om), rm.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(od), rd.numpy(), atol=2e-3, rtol=1e-4)
+    if not twice:
+        np.testing.assert_allclose(np.asarray(of), rf.numpy(), atol=2e-4, rtol=1e-4)
+
+
+def test_forward_warp_mask_clean_matches_reference(ref_utils, rng):
+    """mask=True path: the cv2-dilate mask cleanup (models/utils.py:585-626).
+    The reference's clean_points squeezes batch dim -> compare b=1."""
+    import torch
+
+    frame, depth, t1, t2, k = _warp_fixture(rng, b=1)
+    ref_warper = ref_utils.Warper(device="gpu0")
+    rw, rm, _, _ = ref_warper.forward_warp(
+        torch.from_numpy(frame), None, torch.from_numpy(depth[:, None]),
+        torch.from_numpy(t1), torch.from_numpy(t2), torch.from_numpy(k), None,
+        mask=True, twice=False,
+    )
+
+    from trajectorycrafter_tpu.geometry.warper import forward_warp
+
+    ow, om, _, _ = forward_warp(
+        jnp.asarray(frame), None, jnp.asarray(depth[:, None]),
+        jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(k), None,
+        mask=True, twice=False,
+    )
+    np.testing.assert_allclose(np.asarray(om), rm.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ow), rw.numpy(), atol=2e-4, rtol=1e-4)
+
+
+def test_bilinear_splatting_matches_reference(ref_utils, rng):
+    """Direct kernel-level golden: ops/splat.bilinear_splat vs
+    Warper.bilinear_splatting (models/utils.py:422-583)."""
+    import torch
+
+    b, h, w = 1, 16, 20
+    frame = rng.uniform(-1, 1, (b, 3, h, w)).astype(np.float32)
+    depth = (1.0 + 3.0 * rng.random((b, h, w))).astype(np.float32)
+    flow = (rng.standard_normal((b, 2, h, w)) * 2.0).astype(np.float32)
+    mask = (rng.random((b, 1, h, w)) > 0.2).astype(np.float32)
+
+    ref_warper = ref_utils.Warper(device="gpu0")
+    rw, rm = ref_warper.bilinear_splatting(
+        torch.from_numpy(frame), torch.from_numpy(mask), torch.from_numpy(depth),
+        torch.from_numpy(flow), None, is_image=True,
+    )
+
+    from trajectorycrafter_tpu.ops.splat import bilinear_splat
+
+    ow, om = bilinear_splat(
+        jnp.moveaxis(jnp.asarray(frame[0]), 0, -1), jnp.asarray(mask[0, 0]),
+        jnp.asarray(depth[0]), jnp.moveaxis(jnp.asarray(flow[0]), 0, -1),
+        None, is_image=True,
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ow), -1, 0), rw.numpy()[0], atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(om), rm.numpy()[0, 0], atol=1e-5)
+
+
+def _pc_fixture(rng, n=4000):
+    points = (rng.standard_normal((n, 3)) * np.array([1.0, 0.8, 0.5]) +
+              np.array([0.0, 0.0, 3.0])).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, 3] = [0.05, -0.02, 0.1]
+    k = np.array([[25.0, 0, 16.0], [0, 25.0, 12.0], [0, 0, 1]], np.float32)
+    return points, colors, w2c, k
+
+
+@pytest.mark.parametrize("point_size", [1, 3])
+def test_render_zbuffer_matches_reference(ref_pc, rng, point_size):
+    import torch
+
+    h, w = 24, 32
+    points, colors, w2c, k = _pc_fixture(rng)
+    ref = ref_pc.GlobalPointCloudWarper(device="cpu")
+    if point_size == 1:
+        rf, rm = ref.render_pointcloud_zbuffer_vectorized(
+            torch.from_numpy(points), torch.from_numpy(colors),
+            torch.from_numpy(w2c)[None], torch.from_numpy(k)[None],
+            image_size=(h, w),
+        )
+        rd = None
+    else:
+        rf, rm, rd = ref.render_pointcloud_zbuffer_vectorized_point_size(
+            torch.from_numpy(points), torch.from_numpy(colors),
+            torch.from_numpy(w2c)[None], torch.from_numpy(k)[None],
+            image_size=(h, w), point_size=point_size, return_depth=True,
+        )
+
+    from trajectorycrafter_tpu.geometry.pointcloud import render_zbuffer
+
+    img, depth, mask = render_zbuffer(
+        jnp.asarray(points), jnp.asarray(colors), jnp.asarray(k),
+        jnp.asarray(w2c), h, w, point_size=point_size, background=-1.0,
+    )
+    np.testing.assert_allclose(np.asarray(mask), rm.numpy()[0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(img), -1, 0), rf.numpy()[0], atol=1e-5
+    )
+    if rd is not None:
+        np.testing.assert_allclose(np.asarray(depth), rd.numpy()[0, 0], atol=1e-5)
+
+
+def test_lift_pointcloud_matches_reference(ref_pc, rng):
+    import torch
+
+    b, h, w = 1, 12, 16
+    frame = rng.uniform(0, 1, (b, 3, h, w)).astype(np.float32)
+    depth = (1.0 + 2.0 * rng.random((b, 1, h, w))).astype(np.float32)
+    t1 = np.eye(4, dtype=np.float32)
+    t1[:3, 3] = [0.1, -0.2, 0.3]
+    k = np.array([[20.0, 0, 8.0], [0, 20.0, 6.0], [0, 0, 1]], np.float32)
+
+    ref = ref_pc.GlobalPointCloudWarper(device="cpu")
+    rp, rc = ref.lift_to_3d_pointcloud(
+        torch.from_numpy(frame), None, torch.from_numpy(depth),
+        torch.from_numpy(t1)[None], torch.from_numpy(k)[None],
+    )
+
+    from trajectorycrafter_tpu.geometry.pointcloud import lift_to_pointcloud
+
+    # ours takes c2w directly; reference takes the extrinsic and inverts
+    op, oc = lift_to_pointcloud(
+        jnp.moveaxis(jnp.asarray(frame[0]), 0, -1), jnp.asarray(depth[0, 0]),
+        jnp.asarray(k), jnp.asarray(np.linalg.inv(t1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(op), rp.numpy()[0].reshape(-1, 3), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(oc), rc.numpy()[0].reshape(-1, 3), atol=1e-6
+    )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from trajectorycrafter_tpu.ops.splat import pixel_grid
 
 _FAR = 1e10
-_NEAR_CULL = 0.1
+_NEAR_CULL = 0.01  # reference warper_point_cloud.py:471 (depths > 0.01)
 
 
 def lift_to_pointcloud(
@@ -87,23 +87,32 @@ def render_zbuffer(
     z = proj[:, 2]
     x = proj[:, 0] / z
     y = proj[:, 1] / z
-    xi = jnp.round(x).astype(jnp.int32)
-    yi = jnp.round(y).astype(jnp.int32)
 
     npix = height * width
-    valid = (z > _NEAR_CULL) & (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    # validity on the UN-rounded coordinates (reference :471-474)
+    valid = (z > _NEAR_CULL) & (x >= 0) & (x < width) & (y >= 0) & (y < height)
 
-    half = point_size // 2
     zbuf = jnp.full((npix + 1,), _FAR, jnp.float32)
-    offsets = [
-        (dy, dx)
-        for dy in range(-half, point_size - half)
-        for dx in range(-half, point_size - half)
-    ]
+    if point_size == 1:
+        # round then clamp into the frame (reference :485-486)
+        xi = jnp.clip(jnp.round(x), 0, width - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(y), 0, height - 1).astype(jnp.int32)
+        offsets = [(0, 0)]
+    else:
+        # (2r+1)^2 square splat around the unrounded position, each offset
+        # rounded and bounds-checked without clamping (reference :565-605)
+        xi, yi = x, y
+        r = point_size // 2
+        offsets = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
     idx_list = []
     for dy, dx in offsets:
-        xo, yo = xi + dx, yi + dy
-        ok = valid & (xo >= 0) & (xo < width) & (yo >= 0) & (yo < height)
+        if point_size == 1:
+            xo, yo = xi, yi
+            ok = valid
+        else:
+            xo = jnp.round(xi + dx).astype(jnp.int32)
+            yo = jnp.round(yi + dy).astype(jnp.int32)
+            ok = valid & (xo >= 0) & (xo < width) & (yo >= 0) & (yo < height)
         idx = jnp.where(ok, yo * width + xo, npix)  # dump slot for culled
         idx_list.append(idx)
         zbuf = zbuf.at[idx].min(z)
