@@ -75,6 +75,29 @@ def _flash_attention(q, k, v, scale):
     return out[:, :, :sq_orig]
 
 
+def _flash_exp2_t(q, k, v, scale):
+    """Production TPU path: the MXU-offloaded exp2 kernel (transposed PV).
+
+    Measured at the DiT shape (2x48x30720x64): 217 ms/call vs the stock
+    kernel's 342 (bench_attention.py).  Pads to the block multiple; padded
+    keys are exactly masked via the kernel's validity column.  Returns
+    (B, H, Sq, D).
+    """
+    from trajectorycrafter_tpu.ops.pallas.flash_exp2 import flash_attention_exp2_t
+
+    b, h, s, d = q.shape
+    block_q, block_k = (2048, 1024) if s >= 2048 else (512, 512)
+    qp, s_orig = _pad_to(q, block_q, axis=2)
+    kp, skv_orig = _pad_to(k, block_k, axis=2)
+    vp, _ = _pad_to(v, block_k, axis=2)  # zero pads, as the kernel requires
+    sp, skv_p = qp.shape[2], kp.shape[2]
+    out_t = flash_attention_exp2_t(
+        qp, kp, vp, kv_pad=skv_p - skv_orig, sm_scale=scale,
+        block_q=min(block_q, sp), block_k=min(block_k, skv_p),
+    )  # (B, H, D, Sp)
+    return jnp.swapaxes(out_t, 2, 3)[:, :, :s_orig]
+
+
 def multi_head_attention(
     q: jnp.ndarray,  # (B, S, H, D)
     k: jnp.ndarray,
@@ -91,6 +114,8 @@ def multi_head_attention(
         on_tpu = jax.devices()[0].platform != "cpu"
         impl = "flash" if (on_tpu and s * k.shape[1] >= 1024 * 1024) else "xla"
     if impl == "flash":
+        out = _flash_exp2_t(qt, kt, vt, scale)
+    elif impl == "flash_stock":
         out = _flash_attention(qt, kt, vt, scale)
     elif impl == "ring":
         # true sequence-parallel attention over the ambient mesh's sp axis
