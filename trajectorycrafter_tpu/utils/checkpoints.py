@@ -58,6 +58,19 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
         kwargs.setdefault("cross_attn_interval", hf.get("cross_attn_interval", 2))
     model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype, **kwargs)
     sd = load_safetensors_dir(transformer_path)
+    from trajectorycrafter_tpu.utils.convert import (
+        expected_dit_keys,
+        verify_state_dict,
+    )
+
+    verify_state_dict(
+        sd,
+        expected_dit_keys(
+            model.num_layers, model.cross_attn_interval,
+            has_ref_branch="ref_patch_embed.proj.weight" in sd,
+        ),
+        "dit",
+    )
     params = convert_dit(sd, model.num_layers, model.cross_attn_interval)
     # shape-adaptive patch embed (reference from_pretrained_2d channel pad/crop)
     from trajectorycrafter_tpu.utils.convert import adapt_patch_embed_in_channels
@@ -74,6 +87,12 @@ def load_vae(vae_path: str, dtype=jnp.bfloat16):
 
     model = AutoencoderKLCogVideoX(dtype=dtype, param_dtype=dtype)
     sd = load_safetensors_dir(vae_path)
+    from trajectorycrafter_tpu.utils.convert import (
+        expected_vae_keys,
+        verify_state_dict,
+    )
+
+    verify_state_dict(sd, expected_vae_keys(), "vae")
     params = convert_vae(sd)
     return model, _cast_tree(params, dtype)
 

@@ -481,3 +481,254 @@ def load_safetensors_dir(path: str) -> Dict[str, Array]:
     for f in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
         sd.update(load_file(f))
     return sd
+
+
+# ----------------------------------------------------------------------------
+# Checkpoint key contracts
+#
+# The exact state-dict key sets the published checkpoints use, derived by
+# reading the reference module trees (crosstransformer3d.py /
+# autoencoder_magvit.py) -- NOT from our own converters, so a typo'd key name
+# in convert_* (e.g. "attn1.to_out" vs "attn1.to_out.0") fails the contract
+# test instead of silently dropping a weight at load time.
+# ----------------------------------------------------------------------------
+
+
+def _wb(prefix: str) -> list:
+    return [prefix + ".weight", prefix + ".bias"]
+
+
+def expected_dit_keys(num_layers: int = 42, cross_attn_interval: int = 2,
+                      has_ref_branch: bool = True,
+                      attention_bias: bool = True) -> set:
+    """Expected checkpoint keys for the TrajectoryCrafter CrossTransformer3D.
+
+    Module tree read from reference crosstransformer3d.py:
+      patch_embed (CogVideoXPatchEmbed: proj Conv2d + text_proj Linear, :47-66),
+      ref_patch_embed (RefPatchEmbed: proj Conv2d, :95-112, built at :576),
+      time_embedding (diffusers TimestepEmbedding linear_1/linear_2, :532),
+      transformer_blocks.{i} (CogVideoXBlock :140: norm1/norm2 =
+        CogVideoXLayerNormZero(linear + affine LayerNorm, bias=True :196-198),
+        attn1 = diffusers Attention(qk_norm="layer_norm" -> norm_q/norm_k,
+        bias=attention_bias [default True :443], out proj at to_out.0, :199-208),
+        ff = diffusers FeedForward gelu-approximate (net.0.proj, net.2, :215-222)),
+      norm_final (LayerNorm :553), norm_out (diffusers AdaLayerNorm:
+        linear + norm, :556-562), proj_out (Linear :563),
+      perceiver_cross_attention.{i} (PerceiverCrossAttention :287-324:
+        norm1/norm2 LayerNorm, to_q/to_kv/to_out Linear bias=False).
+    pos_embedding is a non-persistent buffer (:529) -> not in the checkpoint.
+    """
+    keys: list = []
+    keys += _wb("patch_embed.proj") + _wb("patch_embed.text_proj")
+    if has_ref_branch:
+        keys += _wb("ref_patch_embed.proj")
+    keys += _wb("time_embedding.linear_1") + _wb("time_embedding.linear_2")
+    keys += _wb("norm_final") + _wb("norm_out.linear") + _wb("norm_out.norm")
+    keys += _wb("proj_out")
+    for i in range(num_layers):
+        p = f"transformer_blocks.{i}"
+        keys += _wb(f"{p}.norm1.linear") + _wb(f"{p}.norm1.norm")
+        keys += _wb(f"{p}.norm2.linear") + _wb(f"{p}.norm2.norm")
+        for proj in ("to_q", "to_k", "to_v"):
+            keys.append(f"{p}.attn1.{proj}.weight")
+            if attention_bias:
+                keys.append(f"{p}.attn1.{proj}.bias")
+        keys += _wb(f"{p}.attn1.to_out.0")
+        keys += _wb(f"{p}.attn1.norm_q") + _wb(f"{p}.attn1.norm_k")
+        keys += _wb(f"{p}.ff.net.0.proj") + _wb(f"{p}.ff.net.2")
+    if has_ref_branch:
+        for i in range(num_layers // cross_attn_interval):
+            p = f"perceiver_cross_attention.{i}"
+            keys += _wb(f"{p}.norm1") + _wb(f"{p}.norm2")
+            keys += [f"{p}.to_q.weight", f"{p}.to_kv.weight", f"{p}.to_out.weight"]
+    return set(keys)
+
+
+def expected_vae_keys(block_out_channels=(128, 256, 256, 512),
+                      layers_per_block: int = 3) -> set:
+    """Expected checkpoint keys for the CogVideoX-Fun 3D VAE.
+
+    Module tree read from reference autoencoder_magvit.py:
+      CausalConv3d wraps its conv at ".conv" (:126); SpatialNorm3D =
+      norm_layer GroupNorm + conv_y/conv_b CausalConv3d (:189-196);
+      ResnetBlock3D: norm1/norm2 (GroupNorm in encoder, SpatialNorm3D in
+      decoder :242-281), conv1/conv2 CausalConv3d (:283-301), conv_shortcut =
+      plain SafeConv3d k=1 when channels change (use_conv_shortcut defaults
+      False, :303-318); encoder (:663-760): conv_in, down_blocks.{i}.resnets
+      + downsamplers.0.conv (Conv2d inside CogVideoXDownsample3D) on all but
+      the last block, mid_block.resnets.{0,1}, norm_out GroupNorm, conv_out;
+      decoder (:803-910): conv_in, mid_block, up_blocks.{i} with
+      layers_per_block+1 resnets + upsamplers.0.conv on all but the last
+      block, norm_out SpatialNorm3D, conv_out.  quant_conv/post_quant_conv
+      are disabled for this checkpoint (use_quant_conv=False, :1022-1056);
+      temb_channels=0 -> no temb_proj (:290).
+    """
+    def causal(prefix):
+        return _wb(prefix + ".conv")
+
+    def spatial_norm(prefix):
+        return (_wb(prefix + ".norm_layer") + causal(prefix + ".conv_y")
+                + causal(prefix + ".conv_b"))
+
+    def resnet(prefix, spatial: bool, shortcut: bool):
+        keys = causal(prefix + ".conv1") + causal(prefix + ".conv2")
+        if spatial:
+            keys += spatial_norm(prefix + ".norm1") + spatial_norm(prefix + ".norm2")
+        else:
+            keys += _wb(prefix + ".norm1") + _wb(prefix + ".norm2")
+        if shortcut:
+            keys += _wb(prefix + ".conv_shortcut")
+        return keys
+
+    n = len(block_out_channels)
+    keys: list = []
+    # encoder: channels go block_out[0] -> block_out[i] (encoder :687-744)
+    keys += causal("encoder.conv_in")
+    ch = block_out_channels[0]
+    for i in range(n):
+        for j in range(layers_per_block):
+            shortcut = j == 0 and block_out_channels[i] != ch
+            keys += resnet(f"encoder.down_blocks.{i}.resnets.{j}", False, shortcut)
+        ch = block_out_channels[i]
+        if i < n - 1:
+            keys += _wb(f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    for j in range(2):
+        keys += resnet(f"encoder.mid_block.resnets.{j}", False, False)
+    keys += _wb("encoder.norm_out") + causal("encoder.conv_out")
+    # decoder: channels go reversed[0] -> reversed[i] (decoder :827-903)
+    rev = tuple(reversed(block_out_channels))
+    keys += causal("decoder.conv_in")
+    for j in range(2):
+        keys += resnet(f"decoder.mid_block.resnets.{j}", True, False)
+    ch = rev[0]
+    for i in range(n):
+        for j in range(layers_per_block + 1):
+            shortcut = j == 0 and rev[i] != ch
+            keys += resnet(f"decoder.up_blocks.{i}.resnets.{j}", True, shortcut)
+        ch = rev[i]
+        if i < n - 1:
+            keys += _wb(f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    keys += spatial_norm("decoder.norm_out") + causal("decoder.conv_out")
+    return set(keys)
+
+
+class RecordingDict(dict):
+    """State-dict wrapper that records which keys a converter reads."""
+
+    def __init__(self, sd: Mapping[str, Array]):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def verify_state_dict(sd: Mapping[str, Array], expected: set, label: str,
+                      ignore_suffixes: tuple = (".position_ids",)) -> None:
+    """Hard-fail when a checkpoint's key set doesn't match the contract.
+
+    Replaces the reference's load_state_dict(strict=False) + printed
+    missing/unexpected counts (crosstransformer3d.py:963-965) with an
+    actionable error: a wrong checkpoint dir or a converter/naming drift
+    should fail loudly, not silently drop weights.
+    """
+    present = {k for k in sd if not k.endswith(ignore_suffixes)}
+    missing = sorted(expected - present)
+    unexpected = sorted(present - expected)
+    if missing or unexpected:
+        def _fmt(keys):
+            head = ", ".join(keys[:8])
+            return f"{len(keys)} keys ({head}{', ...' if len(keys) > 8 else ''})"
+
+        raise ValueError(
+            f"{label}: checkpoint key set does not match the expected "
+            f"{label} contract. Missing: {_fmt(missing) if missing else 'none'}. "
+            f"Unexpected: {_fmt(unexpected) if unexpected else 'none'}. "
+            "Check that the directory holds the right model family "
+            "(see SURVEY.md section 1 zoo table) and matches config.json."
+        )
+
+
+# ----------------------------------------------------------------------------
+# Conversion CLI: python -m trajectorycrafter_tpu.utils.convert
+#
+# Stands up the model zoo from downloaded HF checkpoints (the reference
+# fetches them with download/download_hf.py:5-30 and loads via diffusers
+# from_pretrained at demo.py:636-666 / models/infer.py:20-31); here each
+# family is converted once to an orbax checkpoint for fast mmap loads.
+# ----------------------------------------------------------------------------
+
+
+_COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae")
+
+
+def _convert_component(component: str, src: str, num_layers: int = 42,
+                       cross_attn_interval: int = 2):
+    import json
+    import os
+
+    sd = load_safetensors_dir(src)
+    if not sd:
+        raise FileNotFoundError(f"no *.safetensors under {src}")
+    cfg = {}
+    cfg_path = os.path.join(src, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    if component == "dit":
+        num_layers = cfg.get("num_layers", num_layers)
+        interval = cfg.get("cross_attn_interval", cross_attn_interval)
+        verify_state_dict(
+            sd, expected_dit_keys(num_layers, interval,
+                                  has_ref_branch="ref_patch_embed.proj.weight" in sd),
+            "dit")
+        return convert_dit(sd, num_layers, interval)
+    if component == "vae":
+        verify_state_dict(
+            sd,
+            expected_vae_keys(tuple(cfg.get("block_out_channels",
+                                            (128, 256, 256, 512))),
+                              cfg.get("layers_per_block", 3)),
+            "vae")
+        return convert_vae(sd, cfg.get("layers_per_block", 3))
+    if component == "t5":
+        return convert_t5_encoder(sd, cfg.get("num_layers", 24))
+    if component == "clip":
+        return convert_clip_vision(sd, cfg.get("num_hidden_layers", 32))
+    if component == "svd_unet":
+        return convert_svd_unet(sd)
+    if component == "svd_vae":
+        return convert_svd_vae(sd)
+    raise ValueError(f"unknown component {component!r}; pick from {_COMPONENTS}")
+
+
+def main(argv=None) -> int:
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(
+        prog="python -m trajectorycrafter_tpu.utils.convert",
+        description="Convert a downloaded HF torch checkpoint directory to an "
+                    "orbax checkpoint loadable by trajectorycrafter_tpu.",
+    )
+    parser.add_argument("src", help="HF checkpoint dir holding *.safetensors "
+                        "(e.g. .../TrajectoryCrafter/transformer)")
+    parser.add_argument("out", help="output orbax checkpoint directory")
+    parser.add_argument("--component", choices=_COMPONENTS, required=True,
+                        help="model family the src dir holds")
+    args = parser.parse_args(argv)
+
+    params = _convert_component(args.component, args.src)
+    from trajectorycrafter_tpu.utils.checkpoints import save_params
+
+    save_params(params, args.out)
+    n = sum(int(np.prod(np.shape(a)))
+            for a in __import__("jax").tree.leaves(params))
+    print(f"[convert] {args.component}: {args.src} -> {os.path.abspath(args.out)} "
+          f"({n/1e6:.1f}M params)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
