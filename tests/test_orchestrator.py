@@ -17,6 +17,7 @@ FIXTURE = "/root/reference/test/videos/p7.mp4"
 
 def _micro_cfg(tmp_path, mode="gradual", camera="target"):
     cfg = TrajCrafterConfig()
+    cfg.allow_dev_stubs = True  # no checkpoints in CI; dev stack is opt-in
     cfg.video_path = FIXTURE if os.path.exists(FIXTURE) else None
     cfg.video_length = 9  # must give odd latent count ((n-1)/4+1) for exact decode
     cfg.warp_size = (48, 80)

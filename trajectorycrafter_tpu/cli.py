@@ -81,6 +81,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_dp", type=int, default=1)
     p.add_argument("--mesh_sp", type=int, default=1)
     p.add_argument("--mesh_tp", type=int, default=1)
+
+    p.add_argument("--allow_dev_stubs", action="store_true", default=False,
+                   help="run with randomly-initialised models / stub depth / "
+                        "pseudo text embeddings when checkpoints are missing "
+                        "(development only; off by default)")
     return p
 
 
@@ -126,6 +131,7 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
     cfg.parallel.dp = args.mesh_dp
     cfg.parallel.sp = args.mesh_sp
     cfg.parallel.tp = args.mesh_tp
+    cfg.allow_dev_stubs = args.allow_dev_stubs
 
     exp = args.exp_name
     if exp is None:

@@ -103,6 +103,11 @@ class TrajCrafterConfig:
     stride: int = 1
     # fixed processing resolution of the warp stage (reference models/utils.py:32)
     warp_size: Tuple[int, int] = (576, 1024)  # (height, width)
+    # opt-in dev mode: permit randomly-initialised models / pseudo text
+    # embeddings / plane-depth stubs when checkpoints are missing.  Off by
+    # default so a production run against an incomplete model dir fails with
+    # an actionable error instead of quietly producing garbage.
+    allow_dev_stubs: bool = False
 
     render: RenderConfig = field(default_factory=RenderConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)

@@ -138,11 +138,26 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
 
 
 def build_models(cfg: TrajCrafterConfig) -> ModelBundle:
-    """Load converted checkpoints when present; dev stack otherwise."""
+    """Load converted checkpoints when present; dev stack only if opted in.
+
+    The reference always loads real weights (demo.py:634-671); a missing
+    model dir here is a hard, actionable error unless --allow_dev_stubs is
+    set, so a production run can't silently produce random-weight output.
+    """
     model_dir = cfg.diffusion.model_name
     if not os.path.isdir(model_dir):
+        if not cfg.allow_dev_stubs:
+            raise FileNotFoundError(
+                f"model checkpoints not found at '{model_dir}'. Download the "
+                "HF zoo (reference download/download_hf.py) and convert it "
+                "with `python -m trajectorycrafter_tpu.utils.convert` (see "
+                "README), point --model_name/--transformer_path at the "
+                "result, or pass --allow_dev_stubs to run a randomly-"
+                "initialised dev-scale stack."
+            )
         print(f"[trajcrafter-tpu] checkpoints not found at {model_dir}; "
-              "building randomly-initialised dev-scale models")
+              "building randomly-initialised dev-scale models "
+              "(--allow_dev_stubs)")
         return build_dev_models(cfg)
     from trajectorycrafter_tpu.utils.checkpoints import load_full_bundle
 

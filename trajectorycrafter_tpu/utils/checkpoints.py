@@ -132,29 +132,37 @@ def load_full_bundle(cfg) -> "ModelBundle":
         transformer_params=dit_params, scheduler=scheduler, dtype=dtype,
     ))
 
-    # text encoder (optional; tokenizer requires a local sentencepiece model)
+    # text encoder + tokenizer (the reference always loads both,
+    # demo.py:643-657; dev stubs are opt-in via --allow_dev_stubs)
     te_path = os.path.join(cfg.diffusion.model_name, "text_encoder")
+    tok_path = os.path.join(cfg.diffusion.model_name, "tokenizer")
     encode_prompt = None
-    if os.path.isdir(te_path):
-        try:
-            t5, t5_params = load_t5(te_path, dtype)
-            from transformers import AutoTokenizer
-
-            tok = AutoTokenizer.from_pretrained(
-                os.path.join(cfg.diffusion.model_name, "tokenizer")
+    try:
+        if not os.path.isdir(te_path):
+            raise FileNotFoundError(
+                f"text encoder directory missing: {te_path} -- download the "
+                "CogVideoX-Fun text_encoder/ + tokenizer/ folders"
             )
+        t5, t5_params = load_t5(te_path, dtype)
+        from trajectorycrafter_tpu.utils.tokenizer import T5Tokenizer
 
-            def encode_prompt(prompt, negative):
-                def enc(text):
-                    ids = tok(text, padding="max_length", max_length=226,
-                              truncation=True, return_tensors="np").input_ids
-                    return t5.apply({"params": t5_params}, jnp.asarray(ids))
+        tok = T5Tokenizer(tok_path)
 
-                return enc(prompt or ""), enc(negative or "")
-        except Exception as e:  # tokenizer may be unavailable offline
-            print(f"[trajcrafter-tpu] text encoder unavailable ({e}); "
-                  "falling back to pseudo-embeddings")
-    if encode_prompt is None:
+        def encode_prompt(prompt, negative):
+            def enc(text):
+                ids = tok(text, max_length=226)
+                return t5.apply({"params": t5_params}, jnp.asarray(ids))
+
+            return enc(prompt or ""), enc(negative or "")
+    except Exception as e:
+        if not cfg.allow_dev_stubs:
+            raise RuntimeError(
+                f"text encoder/tokenizer unavailable ({e}). Real prompts are "
+                "load-bearing for output quality; pass --allow_dev_stubs to "
+                "run with deterministic pseudo text embeddings instead."
+            ) from e
+        print(f"[trajcrafter-tpu] text encoder unavailable ({e}); "
+              "falling back to pseudo-embeddings (--allow_dev_stubs)")
         from trajectorycrafter_tpu.orchestrator import _pseudo_text_embeds
 
         encode_prompt = lambda p, n: (
@@ -162,14 +170,23 @@ def load_full_bundle(cfg) -> "ModelBundle":
             _pseudo_text_embeds(n or "", 226, 4096),
         )
 
-    # DepthCrafter (optional)
-    depth_infer = _plane_depth_infer
-    if os.path.isdir(cfg.depth.unet_path):
-        try:
-            depth_infer = load_depthcrafter(cfg, dtype)
-        except Exception as e:
-            print(f"[trajcrafter-tpu] DepthCrafter unavailable ({e}); "
-                  "using plane-depth stub")
+    # DepthCrafter (reference models/infer.py:12-50)
+    try:
+        if not os.path.isdir(cfg.depth.unet_path):
+            raise FileNotFoundError(
+                f"DepthCrafter UNet directory missing: {cfg.depth.unet_path}"
+            )
+        depth_infer = load_depthcrafter(cfg, dtype)
+    except Exception as e:
+        if not cfg.allow_dev_stubs:
+            raise RuntimeError(
+                f"DepthCrafter unavailable ({e}). Depth drives the warp "
+                "geometry; pass --allow_dev_stubs to run with a constant-"
+                "plane depth stub instead."
+            ) from e
+        print(f"[trajcrafter-tpu] DepthCrafter unavailable ({e}); "
+              "using plane-depth stub (--allow_dev_stubs)")
+        depth_infer = _plane_depth_infer
 
     from trajectorycrafter_tpu.utils.caption import build_captioner
 
