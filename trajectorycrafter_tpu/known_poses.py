@@ -3,8 +3,10 @@
 Replaces the reference's run_w_cam_poses*.py family: instead of synthesising
 a spherical trajectory, calibrated dataset cameras (K, R, t, optional
 distortion) drive the source->target warping -- Panoptic Studio
-(run_w_cam_poses.py:13-27), DyCheck-iPhone (run_w_cam_poses_iphone.py:15) and
-MVTracker/Kubric (run_w_cam_poses_mvtracker.py:12-15) conventions.
+(run_w_cam_poses.py:13-27), DyCheck-iPhone (run_w_cam_poses_iphone.py:15 +
+iphone_original_dataset.py), MVTracker/Kubric
+(run_w_cam_poses_mvtracker.py:12-15) and Shape-of-Motion
+(run_w_cam_poses_iphone_som.py) conventions.
 
 Camera conversion + undistortion run on host (cv2/numpy prologue); warping
 and diffusion use the shared jit stack.
@@ -12,8 +14,11 @@ and diffusion use the shared jit stack.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
@@ -78,6 +83,242 @@ def undistort_and_resize(
     return np.stack(out).astype(np.float32) / 255.0, K
 
 
+# ----------------------------------------------------------------------------
+# DyCheck-iPhone dataset (reference iphone_original_dataset.py)
+#
+# Layout: root/{sequence}/camera/{cam}_{frame:05d}.json
+#         root/{sequence}/rgb/{scale}/{cam}_{frame:05d}.png
+#         root/{sequence}/depth/{scale}/{0}_{frame:05d}.npy   (camera 0 only)
+# ----------------------------------------------------------------------------
+
+
+def iphone_camera_from_json(params: dict) -> CalibratedCamera:
+    """DyCheck camera json -> warp extrinsics.
+
+    The json stores a scalar ``focal_length``, ``principal_point`` [cx, cy],
+    ``orientation`` (3x3) and ``position`` (3,).  The reference's net
+    transform chain (iphone_original_dataset.py:226-253 builds
+    inv([orientation.T | -orientation.T t]) = [orientation | position], then
+    run_w_cam_poses_iphone.py:21-33 inverts once more before warping) ends at
+    inv([orientation | position]) = [orientation.T | -orientation.T position],
+    which is what the warper consumes as world-to-camera here.
+    """
+    f = float(params["focal_length"])
+    cx, cy = (float(v) for v in params["principal_point"])
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]], np.float64)
+    Rw = np.asarray(params["orientation"], np.float64)
+    p = np.asarray(params["position"], np.float64).reshape(3)
+    return CalibratedCamera(K=K, R=Rw.T, t=-Rw.T @ p)
+
+
+@dataclass
+class IPhoneSequence:
+    """One contiguous multi-camera slice of a DyCheck-iPhone sequence."""
+
+    frame_ids: List[int]
+    frames: Dict[int, np.ndarray]  # cam id -> (F, H, W, 3) float [0, 1]
+    depths: Optional[np.ndarray]  # (F, H, W) metric depth from camera 0
+    cameras: Dict[int, List[CalibratedCamera]]  # cam id -> per-frame cameras
+
+
+def load_iphone_sequence(
+    root: str,
+    sequence: str,
+    scale: str = "1x",
+    camera_ids: Sequence[int] = (0, 1, 2),
+    frame_range: Optional[Tuple[int, int]] = None,
+    min_sequence_length: int = 1,
+) -> IPhoneSequence:
+    """Discover and load the longest contiguous frame run present for ALL
+    requested cameras (reference iphone_original_dataset.py:70-150: frames
+    are valid when the camera json + rgb png -- and depth npy for camera
+    0 -- all exist; the intersection across cameras is split into contiguous
+    runs and short runs are dropped)."""
+    seq_dir = os.path.join(root, sequence)
+    cam_dir = os.path.join(seq_dir, "camera")
+    rgb_dir = os.path.join(seq_dir, "rgb", scale)
+    depth_dir = os.path.join(seq_dir, "depth", scale)
+
+    per_cam: Dict[int, set] = {}
+    for cam in camera_ids:
+        ids = set()
+        for path in glob.glob(os.path.join(cam_dir, f"{cam}_*.json")):
+            fid = int(os.path.splitext(os.path.basename(path))[0].split("_")[1])
+            if not os.path.isfile(os.path.join(rgb_dir, f"{cam}_{fid:05d}.png")):
+                continue
+            if cam == 0 and not os.path.isfile(
+                os.path.join(depth_dir, f"0_{fid:05d}.npy")
+            ):
+                continue
+            ids.add(fid)
+        per_cam[cam] = ids
+
+    common = sorted(set.intersection(*per_cam.values())) if per_cam else []
+    if frame_range is not None:
+        lo, hi = frame_range
+        common = [f for f in common if lo <= f <= hi]
+
+    # longest contiguous run of at least min_sequence_length
+    runs: List[List[int]] = []
+    for fid in common:
+        if runs and fid == runs[-1][-1] + 1:
+            runs[-1].append(fid)
+        else:
+            runs.append([fid])
+    runs = [r for r in runs if len(r) >= min_sequence_length]
+    if not runs:
+        raise ValueError(
+            f"no contiguous frame run >= {min_sequence_length} found for "
+            f"cameras {tuple(camera_ids)} under {seq_dir}"
+        )
+    frame_ids = max(runs, key=len)
+
+    frames: Dict[int, np.ndarray] = {}
+    cameras: Dict[int, List[CalibratedCamera]] = {}
+    for cam in camera_ids:
+        imgs, cams = [], []
+        for fid in frame_ids:
+            img = cv2.imread(os.path.join(rgb_dir, f"{cam}_{fid:05d}.png"),
+                             cv2.IMREAD_COLOR)
+            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            with open(os.path.join(cam_dir, f"{cam}_{fid:05d}.json")) as fh:
+                cams.append(iphone_camera_from_json(json.load(fh)))
+        frames[cam] = np.stack(imgs).astype(np.float32) / 255.0
+        cameras[cam] = cams
+
+    depths = None
+    if 0 in camera_ids:
+        ds = []
+        for fid in frame_ids:
+            d = np.load(os.path.join(depth_dir, f"0_{fid:05d}.npy"))
+            ds.append(np.squeeze(d, -1) if d.ndim == 3 else d)
+        depths = np.stack(ds).astype(np.float32)
+
+    return IPhoneSequence(frame_ids=list(frame_ids), frames=frames,
+                          depths=depths, cameras=cameras)
+
+
+# ----------------------------------------------------------------------------
+# MVTracker / Kubric multiview samples (reference run_w_cam_poses_mvtracker.py)
+# ----------------------------------------------------------------------------
+
+
+def mvtracker_camera(intrs: np.ndarray, extrs: np.ndarray) -> CalibratedCamera:
+    """MVTracker convention: ``intrs`` (3, 3), ``extrs`` (3, 4) = [R|t]
+    world-to-camera, used as-is (run_w_cam_poses_mvtracker.py:21-36)."""
+    extrs = np.asarray(extrs, np.float64)
+    return CalibratedCamera(K=np.asarray(intrs, np.float64),
+                            R=extrs[:, :3], t=extrs[:, 3])
+
+
+def load_mvtracker_npz(path: str, source_view: int = 0,
+                       target_view: int = 1) -> dict:
+    """Load one MVTracker/Kubric multiview sample from an .npz file.
+
+    Mirrors the field accesses at run_w_cam_poses_mvtracker.py:93-135:
+    ``video`` (V, T, 3, H, W) or (V, T, H, W, 3) uint8/float, ``videodepth``
+    (V, T, 1, H, W) or (V, T, H, W), ``intrs`` (V, T, 3, 3) or (V, 3, 3),
+    ``extrs`` (V, T, 3, 4) or (V, 3, 4); cameras are taken at t=0 as the
+    reference does (``data.intrs[v][0]``).
+    """
+    with np.load(path, allow_pickle=False) as z:
+        def pick(*names):
+            for n in names:
+                if n in z:
+                    return np.asarray(z[n])
+            raise KeyError(f"{path}: none of {names} present "
+                           f"(has {sorted(z.keys())})")
+
+        video = pick("video", "rgbs")
+        depth = pick("videodepth", "depths")
+        intrs = pick("intrs", "intrinsics")
+        extrs = pick("extrs", "extrinsics")
+
+    if video.ndim != 5:
+        raise ValueError(f"video must be 5-D (V,T,...), got {video.shape}")
+    if video.shape[2] == 3 and video.shape[-1] != 3:  # (V, T, 3, H, W)
+        video = np.moveaxis(video, 2, -1)
+    if np.issubdtype(video.dtype, np.integer):
+        video = video.astype(np.float32) / 255.0
+    video = video.astype(np.float32)
+
+    if depth.ndim == 5:  # (V, T, 1, H, W)
+        depth = depth[:, :, 0]
+    cam_at = lambda a, v: a[v, 0] if a.ndim == 4 else a[v]
+
+    return {
+        "frames": video[source_view],
+        "target_frames": video[target_view],
+        "depths": depth[source_view].astype(np.float32),
+        "source_cam": mvtracker_camera(cam_at(intrs, source_view),
+                                       cam_at(extrs, source_view)),
+        "target_cam": mvtracker_camera(cam_at(intrs, target_view),
+                                       cam_at(extrs, target_view)),
+        "seq_name": os.path.splitext(os.path.basename(path))[0],
+    }
+
+
+# ----------------------------------------------------------------------------
+# Shape-of-Motion items (reference run_w_cam_poses_iphone_som.py)
+# ----------------------------------------------------------------------------
+
+
+def som_camera(item: dict) -> CalibratedCamera:
+    """SOM dataset item: ``Ks`` (3, 3) and ``w2cs`` (4, 4) world-to-camera,
+    consumed directly (run_w_cam_poses_iphone_som.py:21-36: 'Keep as w2c
+    since TrajCrafter expects that')."""
+    w2c = np.asarray(item["w2cs"], np.float64)
+    return CalibratedCamera(K=np.asarray(item["Ks"], np.float64),
+                            R=w2c[:3, :3], t=w2c[:3, 3])
+
+
+def load_som_sequence(source_items: Sequence[dict],
+                      target_items: Sequence[dict]) -> dict:
+    """Stack per-frame SOM items (keys ``imgs`` (H, W, 3) in [0, 1],
+    ``depths`` (H, W), ``Ks``, ``w2cs``, optional segmentation ``masks``)
+    into one warp-ready sample (run_w_cam_poses_iphone_som.py:37-93)."""
+    if len(source_items) != len(target_items):
+        raise ValueError("source/target sequences must be the same length")
+    frames = np.stack([np.asarray(it["imgs"], np.float32)
+                       for it in source_items])
+    target_frames = np.stack([np.asarray(it["imgs"], np.float32)
+                              for it in target_items])
+    depths = np.stack([np.asarray(it["depths"], np.float32)
+                       for it in source_items])
+    sample = {
+        "frames": frames,
+        "target_frames": target_frames,
+        "depths": depths,
+        "source_cam": som_camera(source_items[0]),
+        "target_cam": som_camera(target_items[0]),
+        "seq_name": "som",
+    }
+    if all("masks" in it for it in source_items):
+        sample["masks"] = np.stack([np.asarray(it["masks"], np.float32)
+                                    for it in source_items])
+    return sample
+
+
+def rotate_for_aspect(frames: np.ndarray, K: np.ndarray,
+                      target_size: Tuple[int, int],
+                      enable: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Rotate a portrait clip 90 deg clockwise when that matches the target
+    aspect better, updating intrinsics (run_w_cam_poses_iphone_som.py:160-258;
+    the reference computes the decision but ships with it disabled --
+    ``enable`` mirrors that default)."""
+    h, w = frames.shape[1:3]
+    th, tw = target_size
+    if not enable or abs(h / w - tw / th) >= abs(w / h - tw / th):
+        return frames, K
+    rotated = np.stack([np.rot90(f, k=-1, axes=(0, 1)) for f in frames])
+    K_new = K.copy()
+    # 90 deg clockwise: (x, y) -> (y, -x)  (reference :230-246)
+    K_new[0, 0], K_new[1, 1] = K[1, 1], K[0, 0]
+    K_new[0, 2] = K[1, 2]
+    K_new[1, 2] = w - 1 - K[0, 2]
+    return rotated, K_new
+
+
 class CameraPoseTrajCrafter(TrajCrafter):
     """Source-view -> target-view re-rendering with calibrated cameras
     (reference CameraPoseTrajCrafter.infer_camera_poses, run_w_cam_poses.py:153)."""
@@ -132,3 +373,11 @@ class CameraPoseTrajCrafter(TrajCrafter):
             outs.append(self.infer_camera_poses(frames, depths, source_cam, cam, prompt))
         self.cfg.save_dir = base
         return outs
+
+    def infer_sample(self, sample: dict, prompt: Optional[str] = None) -> np.ndarray:
+        """Run a loader-produced sample (load_mvtracker_npz / load_som_sequence
+        / an IPhoneSequence flattened into the same keys) end-to-end."""
+        return self.infer_camera_poses(
+            sample["frames"], sample.get("depths"),
+            sample["source_cam"], sample["target_cam"], prompt,
+        )
