@@ -40,6 +40,10 @@ def get_parser():
     p.add_argument("--mesh_dp", type=int, default=1)
     p.add_argument("--mesh_tp", type=int, default=1)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--validate_every", type=int, default=0,
+                   help="run held-out validation every N steps (0 = off)")
+    p.add_argument("--val_fraction", type=float, default=0.1,
+                   help="fraction of samples held out for validation")
     return p
 
 
@@ -60,7 +64,7 @@ def build_base_model(args, sample):
         cross_attn_dim_head=16, cross_attn_num_heads=4,
         use_rotary_positional_embeddings=True, dtype=jnp.float32,
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, f, h, w, c)), jnp.zeros((1,) + sample["prompt_embeds"].shape),
         jnp.zeros((1,)), jnp.zeros((1, f, h, w, c + 1)),
@@ -87,9 +91,21 @@ def main(argv=None):
     from trajectorycrafter_tpu.training.step import make_optimizer
     from trajectorycrafter_tpu.utils.checkpoints import restore_params, save_params
 
+    from trajectorycrafter_tpu.training.validation import (
+        MetricsLogger,
+        make_eval_loss,
+        run_validation,
+        sanity_check_batch,
+    )
+
     data = LatentsDataset(args.data_dir)
+    val_data = None
+    if args.validate_every > 0:
+        data, val_data = data.split(args.val_fraction, seed=args.seed)
+        print(f"dataset split: {len(data)} train / {len(val_data)} val")
     sample = data[0]
     model, params = build_base_model(args, sample)
+    logger = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
 
     mesh = make_mesh(dp=args.mesh_dp, sp=1, tp=args.mesh_tp)
     params = jax.device_put(params, dit_param_sharding(params, mesh))
@@ -126,12 +142,21 @@ def main(argv=None):
     )
     with jax.set_mesh(mesh):
         jstep = jax.jit(step_fn)
+        eval_jit = None
+        if val_data is not None:
+            eval_jit = jax.jit(make_eval_loss(
+                model, params, scheduler, sch_state,
+                lora_alpha=args.lora_alpha, lora_rank=args.lora_rank,
+            ))
 
         batches = data.iter_batches(args.batch_size, seed=args.seed)
         key = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         for step in range(start_step, args.train_steps):
             batch_np = next(batches)
+            if step == start_step:
+                # first-batch sanity dump (reference training_loop.py:312-321)
+                print(sanity_check_batch(batch_np, step))
             bshard = {
                 k: NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
                 for k, v in batch_np.items()
@@ -148,6 +173,19 @@ def main(argv=None):
                 dt = (time.time() - t0) / args.log_every
                 print(f"step {step+1}: loss {loss:.4f} grad_norm {gn:.3f} "
                       f"{dt*1000:.0f} ms/step")
+                logger.log(step + 1, loss=loss, grad_norm=gn,
+                           ms_per_step=dt * 1000.0, lr=args.learning_rate)
+                t0 = time.time()
+            if eval_jit is not None and (step + 1) % args.validate_every == 0:
+                val = run_validation(
+                    eval_jit, state.lora,
+                    ({k: v[None] for k, v in val_data[i].items()}
+                     for i in range(len(val_data))),
+                    seed=args.seed,
+                )
+                print(f"step {step+1}: val_loss {val['val_loss']:.4f} "
+                      f"({val['val_samples']} samples)")
+                logger.log(step + 1, **val)
                 t0 = time.time()
             if (step + 1) % args.checkpointing_steps == 0:
                 path = os.path.join(args.output_dir, f"ckpt_{step+1:07d}")

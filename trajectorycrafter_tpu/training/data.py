@@ -31,6 +31,22 @@ class LatentsDataset:
         with np.load(self.files[i]) as z:
             return {k: z[k] for k in z.files}
 
+    def split(self, val_fraction: float, seed: int = 0):
+        """Deterministic train/val file split (at least one val sample when
+        val_fraction > 0 and the dataset has >= 2 files)."""
+        if not 0.0 <= val_fraction < 1.0:
+            raise ValueError(f"val_fraction must be in [0, 1), got {val_fraction}")
+        n_val = int(round(len(self.files) * val_fraction))
+        if val_fraction > 0 and len(self.files) >= 2:
+            n_val = max(1, min(n_val, len(self.files) - 1))
+        order = np.random.default_rng(seed).permutation(len(self.files))
+        train = object.__new__(LatentsDataset)
+        val = object.__new__(LatentsDataset)
+        train.root = val.root = self.root
+        train.files = [self.files[i] for i in sorted(order[n_val:])]
+        val.files = [self.files[i] for i in sorted(order[:n_val])]
+        return train, val
+
     def iter_batches(self, batch_size: int, seed: int = 0,
                      epochs: int = -1) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
