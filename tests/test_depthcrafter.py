@@ -143,3 +143,25 @@ def test_svd_scheduler_matches_reference_config():
     s = svd_euler_scheduler()
     st = s.set_timesteps(5)
     assert float(st.sigmas[0]) == pytest.approx(700.0, rel=1e-5)
+
+
+def test_chain_blend_matches_depthcrafter_scheme():
+    """Overlap blend = new*w + old*(1-w), w = linspace(0,1,ov): first overlap
+    frame keeps the old result, last is fully the new window, and the ramp is
+    continuous into the non-overlap region (the round-1 accumulate/divide
+    scheme capped the new window at weight 0.5 -- this pins the fix)."""
+    import jax.numpy as jnp
+
+    from trajectorycrafter_tpu.pipelines.depth import chain_blend
+
+    f, c = 10, 1
+    old = jnp.ones((f, 2, 2, c))
+    new = jnp.full((6, 2, 2, c), 3.0)
+    out = np.asarray(chain_blend(old, new, s=4, ov=3))
+    w = np.linspace(0, 1, 3)
+    np.testing.assert_allclose(out[4:7, 0, 0, 0], 3.0 * w + 1.0 * (1 - w))
+    np.testing.assert_allclose(out[7:10], 3.0)  # rest of window overwritten
+    np.testing.assert_allclose(out[:4], 1.0)  # untouched prefix
+    # ov=0 (first window): pure overwrite
+    out0 = np.asarray(chain_blend(old, new, s=0, ov=0))
+    np.testing.assert_allclose(out0[:6], 3.0)

@@ -322,6 +322,11 @@ class CrossTransformer3DModel(nn.Module):
                 ca_idx += 1
 
         # 5. final norm + AdaLN + projection (reference :848-857)
+        # NOTE: norm_final is applied to the CONCATENATED text+video stream,
+        # matching the deployed RoPE (CogVideoX-5B-style) checkpoint; the
+        # upstream 2B branch (reference :843-846, commented out there too)
+        # norms only the video tokens -- port that branch before loading a
+        # non-RoPE checkpoint.
         joint = jnp.concatenate([encoder, hidden], axis=1)
         joint = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              param_dtype=self.param_dtype, name="norm_final")(

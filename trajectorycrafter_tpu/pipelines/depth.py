@@ -6,9 +6,12 @@ interface (models/infer.py:52-92 ``DepthCrafterDemo.infer``):
   * EulerDiscrete (continuous Karras sigmas, v-prediction, SVD config)
     denoising of each temporal window (window 110 / overlap 25 defaults,
     inference.py:163-167), no CFG at guidance 1.0;
-  * consecutive windows are latent-blended across the overlap with a linear
-    ramp and seeded from the previous window's overlap latents, keeping the
-    whole video temporally consistent;
+  * consecutive windows chain exactly like the public DepthCrafter pipeline
+    (tencent/DepthCrafter depth_crafter_ppl.py; the reference consumes it as
+    a non-vendored submodule, models/infer.py:9-10): later windows seed
+    their overlap latents from the previous result re-noised to the first
+    sigma, and finished windows overwrite-blend into the running result with
+    a 0 -> 1 linear ramp across the overlap;
   * post-processing chain reproduced verbatim from models/infer.py:79-91:
     3-channel mean -> global min-max normalise -> x3900 -> 10000/d ->
     clip(near, far).
@@ -109,10 +112,15 @@ class DepthCrafterPipeline:
         if starts[-1] + window_size < f:
             starts.append(f - window_size)
 
+        # windowed denoise with the public DepthCrafter chaining scheme
+        # (tencent/DepthCrafter depth_crafter_ppl.py): each later window's
+        # overlap latents start from the PREVIOUS window's denoised latents
+        # re-noised to the first sigma, and the finished window is
+        # overwrite-blended into the running result with a 0 -> 1 linear ramp
+        # over the overlap (first overlap frame keeps the old window, the
+        # last is fully the new one -- continuous into the fresh frames).
         latents_all = jnp.zeros((f,) + cond_latents.shape[1:], jnp.float32)
-        counts = jnp.zeros((f, 1, 1, 1), jnp.float32)
         prev_start = None
-        prev_lat = None
         for wi, s in enumerate(starts):
             key, sub = jax.random.split(key)
             win_cond = cond_latents[s : s + window_size]
@@ -125,9 +133,9 @@ class DepthCrafterPipeline:
             if prev_start is not None:
                 ov = min(max(prev_start + window_size - s, 0), window_size)
             if ov > 0:
-                # seed overlapping frames with the previous window's denoised
-                # latents for those SAME global frames, re-noised to sigma_max
-                anchor = prev_lat[s - prev_start : s - prev_start + ov]
+                # seed overlapping frames from the already-blended result for
+                # those SAME global frames, re-noised to the start sigma
+                anchor = latents_all[s : s + ov]
                 reno = anchor + noise[:ov] * state.init_noise_sigma
                 init = jnp.concatenate([reno, init[ov:]], axis=0)
             win_lat = _denoise_window_jit(
@@ -135,15 +143,8 @@ class DepthCrafterPipeline:
                 init, win_cond, win_ctx, added, num_inference_steps,
                 float(guidance_scale), self.dtype,
             )
-            ramp = jnp.ones((window_size, 1, 1, 1), jnp.float32)
-            if ov > 0:
-                r = jnp.linspace(0.0, 1.0, ov + 2)[1:-1]
-                ramp = ramp.at[:ov, 0, 0, 0].set(r)
-            latents_all = latents_all.at[s : s + window_size].add(win_lat * ramp)
-            counts = counts.at[s : s + window_size].add(ramp)
-            prev_start, prev_lat = s, win_lat
-
-        latents_all = latents_all / jnp.maximum(counts, 1e-8)
+            latents_all = chain_blend(latents_all, win_lat, s, ov)
+            prev_start = s
         dec = self.vae.apply(
             {"params": self.vae_params},
             (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
@@ -151,6 +152,19 @@ class DepthCrafterPipeline:
         )[0].astype(jnp.float32)
         dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
         return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
+
+
+def chain_blend(latents_all: jnp.ndarray, win_lat: jnp.ndarray, s: int,
+                ov: int) -> jnp.ndarray:
+    """Overwrite-blend a finished window into the running latents: the first
+    ``ov`` frames ramp linearly from the existing result (w=0) to the new
+    window (w=1); the rest is taken from the new window verbatim (the public
+    DepthCrafter scheme -- torch.linspace(0, 1, overlap) weights)."""
+    if ov > 0:
+        w = jnp.linspace(0.0, 1.0, ov)[:, None, None, None]
+        blended = win_lat[:ov] * w + latents_all[s : s + ov] * (1.0 - w)
+        win_lat = jnp.concatenate([blended, win_lat[ov:]], axis=0)
+    return latents_all.at[s : s + win_lat.shape[0]].set(win_lat)
 
 
 @partial(jax.jit, static_argnames=("unet", "scheduler", "num_steps",
