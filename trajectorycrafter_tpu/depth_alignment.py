@@ -8,8 +8,22 @@ depth with scale-shift-invariant and temporal-alignment-error (TAE) losses
 autoregressive loop that glues aligned depth into the global point cloud
 (autoregressive_loop_alignment.py:17-44).
 
-The reference optimises per-window with torch Adam; here the whole windowed
-alignment is jit-compiled optax with ``lax.scan`` over optimisation steps.
+Two alignment mechanisms, mirroring the reference's two layers:
+
+* :func:`align_window` — lightweight per-frame scale/shift optimisation
+  against rendered depth (no model in the loop);
+* :class:`DepthAlignmentTrainer` — the full test-time optimisation of
+  depth_alignment/depth_trainer.py:51-144: a learnable *visual prompt*
+  (additive RGB perturbation) is optimised through a frozen
+  Video-Depth-Anything model; scale/shift is solved in closed form each
+  step (compute_scale_and_shift) and the loss combines masked L1+RMSE
+  (depth_losses.py SimpleDepthLoss), an SSI term, and the differentiable
+  geometric TAE (depth_losses.py DifferentiableTAELoss: unproject frame i,
+  transform with the relative pose, project into frame i+1, bilinear-sample
+  its depth and penalise relative disagreement).
+
+The reference optimises with torch Adam/AdamW per window; here every
+optimisation loop is jit-compiled optax under ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -138,6 +152,210 @@ def estimate_depth_with_alignment(
         weight[s : s + infer_len] += ramp
         prev_start = s
     return out / np.maximum(weight, 1e-8)
+
+
+def compute_scale_and_shift(pred: jnp.ndarray, target: jnp.ndarray,
+                            mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form masked least-squares (scale, shift) so that
+    ``scale * pred + shift ~ target`` (the MiDaS system the reference calls
+    as Video-Depth-Anything's ``compute_scale_and_shift``,
+    depth_trainer.py:82-83).
+
+    Reduces over every axis but the first: pred/target/mask (B, ...) ->
+    scale/shift (B,).  Frames share one solution when the video is flattened
+    into the reduction axes (the reference flattens (T, H) together).
+    """
+    axes = tuple(range(1, pred.ndim))
+    m = mask.astype(pred.dtype)
+    a00 = jnp.sum(m * pred * pred, axis=axes)
+    a01 = jnp.sum(m * pred, axis=axes)
+    a11 = jnp.sum(m, axis=axes)
+    b0 = jnp.sum(m * pred * target, axis=axes)
+    b1 = jnp.sum(m * target, axis=axes)
+    det = a00 * a11 - a01 * a01
+    ok = det > 1e-8
+    scale = jnp.where(ok, (a11 * b0 - a01 * b1) / jnp.where(ok, det, 1.0), 1.0)
+    shift = jnp.where(ok, (-a01 * b0 + a00 * b1) / jnp.where(ok, det, 1.0), 0.0)
+    return scale, shift
+
+
+def _bilinear_sample(img: jnp.ndarray, u: jnp.ndarray,
+                     v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (H, W) at pixel coords (u, v) with border padding
+    (torch grid_sample align_corners=True + padding_mode='border')."""
+    h, w = img.shape
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 1)
+    u1 = jnp.clip(u0 + 1, 0, w - 1)
+    v1 = jnp.clip(v0 + 1, 0, h - 1)
+    fu = u - u0
+    fv = v - v0
+    top = img[v0, u0] * (1 - fu) + img[v0, u1] * fu
+    bot = img[v1, u0] * (1 - fu) + img[v1, u1] * fu
+    return top * (1 - fv) + bot * fv
+
+
+def differentiable_tae(
+    depth: jnp.ndarray,  # (F, H, W)
+    intrinsics: jnp.ndarray,  # (3, 3)
+    extrinsics: jnp.ndarray,  # (F, 4, 4) camera-to-world poses
+    mask_threshold: float = 1e-3,
+    max_depth: float = 100.0,
+) -> jnp.ndarray:
+    """Differentiable geometric TAE (depth_losses.py:106-228): each frame's
+    depth is unprojected, moved into the next camera with the relative pose,
+    re-projected, and compared (relative error) against the bilinear-sampled
+    depth of the next frame.  Returns the mean over valid pixels and frame
+    pairs."""
+    f, h, w = depth.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    xs = jnp.arange(w, dtype=depth.dtype)[None, :]
+    ys = jnp.arange(h, dtype=depth.dtype)[:, None]
+
+    rel = jnp.einsum("fij,fjk->fik", jnp.linalg.inv(extrinsics[1:]),
+                     extrinsics[:-1])  # T_{i+1}^{-1} @ T_i
+
+    def pair(d1, d2, t_rel):
+        r, t = t_rel[:3, :3], t_rel[:3, 3]
+        x1 = (xs - cx) * d1 / fx
+        y1 = (ys - cy) * d1 / fy
+        pts = jnp.stack([x1, y1, d1], axis=-1)  # (H, W, 3)
+        p2 = jnp.einsum("ij,hwj->hwi", r, pts) + t
+        z2 = jnp.maximum(p2[..., 2], 1e-6)
+        u2 = fx * p2[..., 0] / z2 + cx
+        v2 = fy * p2[..., 1] / z2 + cy
+        valid = ((d1 > mask_threshold) & (d1 < max_depth)
+                 & (u2 >= 0) & (u2 < w) & (v2 >= 0) & (v2 < h)
+                 & (p2[..., 2] > mask_threshold))
+        sampled = _bilinear_sample(d2, u2, v2)
+        err = jnp.abs(p2[..., 2] - sampled) / (sampled + 1e-6)
+        m = valid.astype(depth.dtype)
+        return jnp.sum(err * m) / (jnp.sum(m) + 1e-6)
+
+    errs = jax.vmap(pair)(depth[:-1], depth[1:], rel)
+    return jnp.mean(errs)
+
+
+def evaluate_tae(depth: jnp.ndarray, intrinsics: jnp.ndarray,
+                 extrinsics: jnp.ndarray) -> float:
+    """Symmetric (both directions) TAE metric (consistent_depth.py:323-388)."""
+    fwd = differentiable_tae(depth, intrinsics, extrinsics)
+    bwd = differentiable_tae(depth[::-1], intrinsics, extrinsics[::-1])
+    return float((fwd + bwd) / 2.0)
+
+
+class DepthAlignmentTrainer:
+    """Test-time visual-prompt optimisation through a frozen VDA model
+    (depth_trainer.py DepthAlignmentTrainer).
+
+    ``mode='VP'`` optimises an additive RGB prompt (the reference default,
+    consistent_depth.py Arguments.mode); ``mode='FT'`` fine-tunes the model
+    parameters themselves.  The whole epoch loop runs as one jit-compiled
+    ``lax.scan``.
+    """
+
+    def __init__(self, model, params, lr: float = 2e-3,
+                 simple_weight: float = 1.0, ssi_weight: float = 1.0,
+                 tae_weight: float = 0.0, mode: str = "VP"):
+        self.model = model
+        self.params = params
+        self.lr = lr
+        self.simple_weight = simple_weight
+        self.ssi_weight = ssi_weight
+        self.tae_weight = tae_weight
+        if mode not in ("VP", "FT"):
+            raise ValueError(f"mode must be 'VP' or 'FT', got {mode!r}")
+        self.mode = mode
+
+    def _loss(self, depth_inv, sparse_inv, mask, intrinsics, extrinsics):
+        """Combined loss on inverse depth (depth_losses.py
+        CombinedDepthLossWithTAE: simple L1+RMSE + VDA-style SSI + TAE)."""
+        m = mask.astype(depth_inv.dtype)
+        denom = jnp.maximum(m.sum(), 1.0)
+        l1 = jnp.sum(m * jnp.abs(depth_inv - sparse_inv)) / denom
+        rmse = jnp.sqrt(jnp.sum(m * (depth_inv - sparse_inv) ** 2) / denom)
+        loss = self.simple_weight * (l1 + rmse)
+        if self.ssi_weight > 0.0:
+            # operate on disparity directly: the SSI helper inverts its
+            # inputs, so pass depth = 1/disparity
+            ssi = scale_shift_invariant_loss(
+                1.0 / jnp.maximum(depth_inv, 1e-6),
+                1.0 / jnp.maximum(sparse_inv, 1e-6), m)
+            loss = loss + self.ssi_weight * ssi
+        if self.tae_weight > 0.0 and intrinsics is not None:
+            loss = loss + self.tae_weight * differentiable_tae(
+                depth_inv, intrinsics, extrinsics)
+        return loss
+
+    def train(
+        self,
+        frames_im: jnp.ndarray,  # (F, H, W, 3) ImageNet-normalised
+        sparse_depth_inv: jnp.ndarray,  # (F, H, W) inverse-depth target
+        sparse_mask: jnp.ndarray,  # (F, H, W) validity
+        intrinsics: jnp.ndarray = None,  # (3, 3)
+        extrinsics: jnp.ndarray = None,  # (F, 4, 4)
+        epochs: int = 50,
+    ):
+        """-> (corrected inverse depth (F, H, W), visual prompt, scale, shift).
+
+        Mirrors depth_trainer.py:51-144: per step the frozen model runs on
+        ``frames + prompt``, scale/shift is solved in closed form over the
+        whole clip, and the combined loss drives AdamW on the prompt (VP)
+        or the parameters (FT).
+        """
+        model, params = self.model, self.params
+        frames = jnp.asarray(frames_im)
+        sparse = jnp.asarray(sparse_depth_inv)
+        mask = jnp.asarray(sparse_mask)
+        if intrinsics is not None:
+            intrinsics = jnp.asarray(intrinsics)
+            extrinsics = jnp.asarray(extrinsics)
+
+        def predict(p, prompt):
+            d = model.apply({"params": p}, (frames + prompt)[None])[0]
+            scale, shift = compute_scale_and_shift(
+                d.reshape(1, -1), sparse.reshape(1, -1), mask.reshape(1, -1))
+            return d * scale[0] + shift[0], scale[0], shift[0]
+
+        def loss_fn(theta):
+            p, prompt = theta
+            d, _, _ = predict(p, prompt)
+            return self._loss(d, sparse, mask, intrinsics, extrinsics)
+
+        prompt0 = jnp.zeros_like(frames)
+        theta = (params, prompt0)
+        # freeze one half of theta with a zero-update transform
+        lbl_params = jax.tree.map(
+            lambda _: "train" if self.mode == "FT" else "freeze", params)
+        lbl_prompt = "train" if self.mode == "VP" else "freeze"
+        opt = optax.multi_transform(
+            {"train": optax.adamw(self.lr), "freeze": optax.set_to_zero()},
+            (lbl_params, lbl_prompt),
+        )
+
+        @jax.jit
+        def run(theta):
+            state = opt.init(theta)
+
+            def step(carry, _):
+                th, st = carry
+                loss, g = jax.value_and_grad(loss_fn)(th)
+                updates, st = opt.update(g, st, th)
+                th = optax.apply_updates(th, updates)
+                return (th, st), loss
+
+            (theta, _), losses = jax.lax.scan(step, (theta, state), None,
+                                              length=epochs)
+            final_p, final_prompt = theta
+            d, scale, shift = predict(final_p, final_prompt)
+            return d, final_prompt, scale, shift, losses
+
+        d, prompt, scale, shift, losses = run(theta)
+        self._last_losses = np.asarray(losses)
+        return d, prompt, float(scale), float(shift)
 
 
 def align_video_to_pointcloud(

@@ -1,0 +1,452 @@
+"""Video-Depth-Anything (VDA) in Flax — the consistent-depth estimator.
+
+The reference's consistent-depth subsystem drives a frozen VDA model
+(notebooks/12_11_25_consistent_depth/autoregressive_alignment/main_alignment.py:80-118
+loads ``VideoDepthAnything(**model_configs[encoder])`` from a non-vendored
+checkout) and test-time-optimises a visual prompt against it
+(depth_alignment/depth_trainer.py:51-144).  This module is a from-scratch
+TPU-native rebuild of that model family:
+
+  * DINOv2 ViT backbone (patch 14, CLS token, LayerScale, interpolated
+    position embeddings) — structure parity-tested against transformers'
+    torch ``Dinov2Backbone``;
+  * DPT neck + relative-depth head (reassemble -> fusion -> 3-conv head) —
+    parity-tested against transformers' ``DepthAnythingForDepthEstimation``;
+  * VDA's temporal extension: temporal self-attention blocks inserted into
+    the DPT fusion path so depth is estimated jointly over a clip
+    ("spatio-temporal head", Video Depth Anything, CVPR'25 §3.1).  The
+    temporal blocks are gated by ``num_temporal_blocks`` — at 0 the model IS
+    single-image Depth Anything and converts 1:1 from the HF checkpoints
+    (LiheYoung/depth-anything-*-hf); the temporal key mapping is pinned in
+    utils/convert.convert_vda.
+
+Everything is channel-last (NHWC / (B, T, H, W, C)); the encoder runs all
+frames as one (B*T) batch (MXU-friendly), temporal attention reshapes to
+(B*h*w, T, C) token streams.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# ImageNet statistics used by the VDA/DepthAnything preprocessor
+# (reference depth_alignment/consistent_depth.py:219).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class VDAConfig:
+    """Architecture hyper-parameters.
+
+    ``encoder`` presets mirror main_alignment.py:101-105 (`model_configs`):
+    vits(features 64, out [48,96,192,384]) / vitb(128, [96,192,384,768]) /
+    vitl(256, [256,512,1024,1024]).
+    """
+
+    def __init__(
+        self,
+        hidden_size: int = 1024,
+        num_hidden_layers: int = 24,
+        num_attention_heads: int = 16,
+        mlp_ratio: float = 4.0,
+        patch_size: int = 14,
+        image_size: int = 518,
+        layerscale_value: float = 1.0,
+        layer_norm_eps: float = 1e-6,
+        out_indices: Sequence[int] = (5, 12, 18, 24),
+        features: int = 256,
+        out_channels: Sequence[int] = (256, 512, 1024, 1024),
+        reassemble_factors: Sequence[float] = (4.0, 2.0, 1.0, 0.5),
+        head_hidden_size: int = 32,
+        num_temporal_blocks: int = 4,
+        temporal_heads: int = 8,
+        max_frames: int = 32,
+    ):
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.mlp_ratio = mlp_ratio
+        self.patch_size = patch_size
+        self.image_size = image_size
+        self.layerscale_value = layerscale_value
+        self.layer_norm_eps = layer_norm_eps
+        # indices into [embeddings, layer1, ..., layerN] (transformers
+        # Dinov2Backbone stage numbering: out_index i = after layer i)
+        self.out_indices = tuple(out_indices)
+        self.features = features
+        self.out_channels = tuple(out_channels)
+        self.reassemble_factors = tuple(reassemble_factors)
+        self.head_hidden_size = head_hidden_size
+        self.num_temporal_blocks = num_temporal_blocks
+        self.temporal_heads = temporal_heads
+        self.max_frames = max_frames
+
+
+def vda_vits_config(**kw) -> VDAConfig:
+    kw.setdefault("hidden_size", 384)
+    kw.setdefault("num_hidden_layers", 12)
+    kw.setdefault("num_attention_heads", 6)
+    kw.setdefault("out_indices", (3, 6, 9, 12))
+    kw.setdefault("features", 64)
+    kw.setdefault("out_channels", (48, 96, 192, 384))
+    return VDAConfig(**kw)
+
+
+def vda_vitb_config(**kw) -> VDAConfig:
+    kw.setdefault("hidden_size", 768)
+    kw.setdefault("num_hidden_layers", 12)
+    kw.setdefault("num_attention_heads", 12)
+    kw.setdefault("out_indices", (3, 6, 9, 12))
+    kw.setdefault("features", 128)
+    kw.setdefault("out_channels", (96, 192, 384, 768))
+    return VDAConfig(**kw)
+
+
+def vda_vitl_config(**kw) -> VDAConfig:
+    return VDAConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 backbone
+# ---------------------------------------------------------------------------
+
+
+class Dinov2MLP(nn.Module):
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.cfg.hidden_size * self.cfg.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="fc1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return nn.Dense(self.cfg.hidden_size, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="fc2")(h)
+
+
+class Dinov2Attention(nn.Module):
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        b, s, _ = x.shape
+        nh = c.num_attention_heads
+        hd = c.hidden_size // nh
+        dense = lambda n: nn.Dense(c.hidden_size, dtype=self.dtype,
+                                   param_dtype=self.param_dtype, name=n)
+        q = dense("query")(x).reshape(b, s, nh, hd)
+        k = dense("key")(x).reshape(b, s, nh, hd)
+        v = dense("value")(x).reshape(b, s, nh, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * hd**-0.5
+        w = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, c.hidden_size)
+        return dense("out")(out)
+
+
+class Dinov2Layer(nn.Module):
+    """Pre-norm ViT block with LayerScale (torch Dinov2Layer)."""
+
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        ln = lambda n: nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                                    param_dtype=self.param_dtype, name=n)
+        ls1 = self.param("layer_scale1",
+                         nn.initializers.constant(c.layerscale_value),
+                         (c.hidden_size,), self.param_dtype)
+        ls2 = self.param("layer_scale2",
+                         nn.initializers.constant(c.layerscale_value),
+                         (c.hidden_size,), self.param_dtype)
+        h = ln("norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        x = x + Dinov2Attention(c, self.dtype, self.param_dtype,
+                                name="attention")(h) * ls1.astype(self.dtype)
+        h = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        x = x + Dinov2MLP(c, self.dtype, self.param_dtype,
+                          name="mlp")(h) * ls2.astype(self.dtype)
+        return x
+
+
+class Dinov2Backbone(nn.Module):
+    """(B, H, W, 3) -> list of (B, 1+hw, C) hidden states at out_indices,
+    each passed through the final backbone LayerNorm (apply_layernorm=True,
+    the DepthAnything configuration)."""
+
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray):
+        c = self.cfg
+        b, h, w, _ = pixels.shape
+        ph, pw = h // c.patch_size, w // c.patch_size
+        patches = nn.Conv(
+            c.hidden_size, kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), padding="VALID",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="patch_embeddings",
+        )(pixels).reshape(b, ph * pw, c.hidden_size)
+        cls = self.param("cls_token", nn.initializers.normal(0.02),
+                         (1, 1, c.hidden_size), self.param_dtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, c.hidden_size)),
+             patches], axis=1)
+
+        grid = c.image_size // c.patch_size
+        pos = self.param("position_embeddings", nn.initializers.normal(0.02),
+                         (1, grid * grid + 1, c.hidden_size), self.param_dtype)
+        x = x + interpolate_pos_encoding(pos.astype(jnp.float32), grid, ph,
+                                         pw).astype(self.dtype)
+
+        final_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                                param_dtype=self.param_dtype, name="layernorm")
+        want = set(c.out_indices)
+        feats = []
+        if 0 in want:  # embeddings count as stage 0
+            feats.append(final_ln(x.astype(jnp.float32)).astype(self.dtype))
+        for i in range(c.num_hidden_layers):
+            x = Dinov2Layer(c, self.dtype, self.param_dtype,
+                            name=f"layer_{i}")(x)
+            if (i + 1) in want:
+                feats.append(final_ln(x.astype(jnp.float32)).astype(self.dtype))
+        return feats, (ph, pw)
+
+
+def interpolate_pos_encoding(pos: jnp.ndarray, grid: int, ph: int,
+                             pw: int) -> jnp.ndarray:
+    """Bicubic-resize the (1, grid*grid+1, C) table to (1, ph*pw+1, C)
+    (torch Dinov2Embeddings.interpolate_pos_encoding)."""
+    if ph == grid and pw == grid:
+        return pos
+    cls, patch = pos[:, :1], pos[:, 1:]
+    c = pos.shape[-1]
+    patch = patch.reshape(1, grid, grid, c)
+    patch = jax.image.resize(patch, (1, ph, pw, c), method="bicubic")
+    return jnp.concatenate([cls, patch.reshape(1, ph * pw, c)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# DPT neck + head (Depth Anything layout)
+# ---------------------------------------------------------------------------
+
+
+def _interp_bilinear(x: jnp.ndarray, hw: Tuple[int, int],
+                     align_corners: bool) -> jnp.ndarray:
+    """NHWC bilinear resize matching torch F.interpolate semantics
+    (resize_linear operates on trailing axes -> go through NCHW)."""
+    from trajectorycrafter_tpu.ops.resize import resize_linear
+
+    x = jnp.moveaxis(x, -1, 1)
+    x = resize_linear(x, hw, align_corners=align_corners)
+    return jnp.moveaxis(x, 1, -1)
+
+
+class PreActResidual(nn.Module):
+    """relu-conv3x3-relu-conv3x3 + residual (DepthAnythingPreActResidualLayer)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda n: nn.Conv(self.features, (3, 3), padding=1,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name=n)
+        h = conv("convolution1")(nn.relu(x))
+        h = conv("convolution2")(nn.relu(h))
+        return x + h
+
+
+class FeatureFusionLayer(nn.Module):
+    """Merge a skip feature into the running fused state, upsample 2x,
+    project (DepthAnythingFeatureFusionLayer)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, size=None):
+        if residual is not None:
+            if x.shape[1:3] != residual.shape[1:3]:
+                residual = _interp_bilinear(residual, x.shape[1:3],
+                                            align_corners=False)
+            x = x + PreActResidual(self.features, self.dtype, self.param_dtype,
+                                   name="residual_layer1")(residual)
+        x = PreActResidual(self.features, self.dtype, self.param_dtype,
+                           name="residual_layer2")(x)
+        out_hw = size if size is not None else (x.shape[1] * 2, x.shape[2] * 2)
+        x = _interp_bilinear(x, out_hw, align_corners=True)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="projection")(x)
+
+
+class TemporalBlock(nn.Module):
+    """Temporal self-attention over the frame axis at fixed spatial sites.
+
+    VDA's spatio-temporal head interleaves temporal layers with the DPT
+    fusion stages (Video Depth Anything, CVPR'25 §3.1); each block is a
+    pre-norm transformer block whose tokens are the T frames of one spatial
+    location: (B, T, h, w, C) -> (B*h*w, T, C) -> attention+FFN -> back.
+    Sinusoidal frame-position encoding is added to queries/keys via an
+    additive table (AnimateDiff-style temporal module).
+    """
+
+    channels: int
+    heads: int
+    max_frames: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        b, t, h, w, c = x.shape
+        tok = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+
+        # sinusoidal time encoding (static table, no params)
+        pos = jnp.arange(t)[:, None]
+        dim = jnp.arange(c // 2)[None, :]
+        ang = pos / jnp.power(10000.0, 2.0 * dim / c)
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        if pe.shape[-1] < c:
+            pe = jnp.pad(pe, ((0, 0), (0, c - pe.shape[-1])))
+
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                    param_dtype=self.param_dtype, name=n)
+        hd = c // self.heads
+        s = ln("norm1")(tok.astype(jnp.float32)).astype(self.dtype)
+        s = s + pe.astype(self.dtype)[None]
+        dense = lambda n, f=c: nn.Dense(f, dtype=self.dtype,
+                                        param_dtype=self.param_dtype, name=n)
+        q = dense("to_q")(s).reshape(-1, t, self.heads, hd)
+        k = dense("to_k")(s).reshape(-1, t, self.heads, hd)
+        v = dense("to_v")(s).reshape(-1, t, self.heads, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * hd**-0.5
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, t, c)
+        tok = tok + dense("to_out")(o)
+
+        s = ln("norm2")(tok.astype(jnp.float32)).astype(self.dtype)
+        ff = dense("ff_in", 4 * c)(s)
+        tok = tok + dense("ff_out")(jax.nn.gelu(ff, approximate=False))
+
+        return tok.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+
+
+class DPTTemporalHead(nn.Module):
+    """Reassemble + fusion + depth head, with temporal blocks after each
+    fusion stage (when ``num_temporal_blocks > 0``).
+
+    Operates on per-frame feature maps; the batch axis is (B, T) flattened
+    except inside the temporal blocks.
+    """
+
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, bt_shape: Tuple[int, int], ph: int, pw: int):
+        c = self.cfg
+        b, t = bt_shape
+        # 1. reassemble: (BT, 1+hw, C) -> (BT, h*f, w*f, out_channels[i])
+        maps = []
+        for i, (f, ch, factor) in enumerate(
+                zip(feats, c.out_channels, c.reassemble_factors)):
+            m = f[:, 1:].reshape(-1, ph, pw, f.shape[-1])
+            m = nn.Conv(ch, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"reassemble_{i}_projection")(m)
+            if factor > 1:
+                k = int(factor)
+                m = nn.ConvTranspose(ch, (k, k), strides=(k, k),
+                                     padding="VALID", dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name=f"reassemble_{i}_resize")(m)
+            elif factor < 1:
+                s = int(1.0 / factor)
+                m = nn.Conv(ch, (3, 3), strides=(s, s), padding=1,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name=f"reassemble_{i}_resize")(m)
+            m = nn.Conv(c.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"neck_conv_{i}")(m)
+            maps.append(m)
+
+        # 2. fusion, deepest first (DepthAnythingFeatureFusionStage), with a
+        # temporal block woven in after each fusion stage
+        rev = maps[::-1]
+        fused = None
+        for i, m in enumerate(rev):
+            size = rev[i + 1].shape[1:3] if i + 1 < len(rev) else None
+            layer = FeatureFusionLayer(c.features, self.dtype,
+                                       self.param_dtype, name=f"fusion_{i}")
+            fused = layer(m, None, size) if fused is None else layer(fused, m, size)
+            if c.num_temporal_blocks > i:
+                vid = fused.reshape(b, t, *fused.shape[1:])
+                vid = TemporalBlock(c.features, c.temporal_heads, c.max_frames,
+                                    self.dtype, self.param_dtype,
+                                    name=f"temporal_{i}")(vid)
+                fused = vid.reshape(b * t, *fused.shape[1:])
+
+        # 3. head (DepthAnythingDepthEstimationHead, relative type)
+        x = nn.Conv(c.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="head_conv1")(fused)
+        x = _interp_bilinear(x, (ph * c.patch_size, pw * c.patch_size),
+                             align_corners=True)
+        x = nn.Conv(c.head_hidden_size, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="head_conv2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="head_conv3")(x)
+        return nn.relu(x)[..., 0]  # (BT, H, W) inverse depth
+
+
+class VideoDepthAnything(nn.Module):
+    """(B, T, H, W, 3) ImageNet-normalised frames -> (B, T, H, W) inverse
+    (relative) depth.  H and W must be multiples of ``cfg.patch_size``."""
+
+    cfg: VDAConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b, t, h, w, _ = frames.shape
+        flat = frames.reshape(b * t, h, w, 3).astype(self.dtype)
+        feats, (ph, pw) = Dinov2Backbone(c, self.dtype, self.param_dtype,
+                                         name="backbone")(flat)
+        depth = DPTTemporalHead(c, self.dtype, self.param_dtype, name="head")(
+            feats, (b, t), ph, pw)
+        return depth.reshape(b, t, h, w)
+
+
+def normalize_imagenet(frames01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] RGB -> ImageNet-normalised (consistent_depth.py:219)."""
+    mean = jnp.asarray(IMAGENET_MEAN, frames01.dtype)
+    std = jnp.asarray(IMAGENET_STD, frames01.dtype)
+    return (frames01 - mean) / std
+
+
+def denormalize_imagenet(frames_im: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`normalize_imagenet` (consistent_depth.py:237-257)."""
+    mean = jnp.asarray(IMAGENET_MEAN, frames_im.dtype)
+    std = jnp.asarray(IMAGENET_STD, frames_im.dtype)
+    return frames_im * std + mean

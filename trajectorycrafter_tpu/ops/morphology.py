@@ -30,6 +30,34 @@ def dilate(mask: jnp.ndarray, size: int = 5, iterations: int = 1) -> jnp.ndarray
     return out
 
 
+def erode(mask: jnp.ndarray, size: int = 5, iterations: int = 1) -> jnp.ndarray:
+    """Binary erosion: min-filter = -maxpool(-x) (reference
+    utils_autoregressive.py:106-109)."""
+    pad = size // 2
+    out = mask
+    for _ in range(iterations):
+        out = -jax.lax.reduce_window(
+            -out,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(size, size),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+        )
+    return out
+
+
+def mask_open(mask: jnp.ndarray, size: int = 9, n_erosion: int = 1,
+              n_dilation: int = 1) -> jnp.ndarray:
+    """Morphological opening of a (h, w) soft mask: binarise at 0.5, erode,
+    dilate (reference utils_autoregressive.py:83-113
+    ``clean_single_mask_simple`` defaults kernel 9 / 1 / 1 at call site
+    autoregressive_loop_alignment.py:597-602)."""
+    binary = (mask > 0.5).astype(jnp.float32)
+    binary = erode(binary, size=size, iterations=n_erosion)
+    return dilate(binary, size=size, iterations=n_dilation)
+
+
 def clean_mask_single(
     warped: jnp.ndarray,  # (h, w, c) in [-1, 1]
     mask: jnp.ndarray,  # (h, w) 1=known

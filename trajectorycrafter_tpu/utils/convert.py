@@ -452,6 +452,124 @@ def convert_clip_vision(sd: Mapping[str, Array], num_layers: int) -> Dict[str, A
     return params
 
 
+def _conv_transpose2d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
+    # torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose kernel
+    # (kh, kw, I, O) with the spatial taps flipped (lax.conv_transpose applies
+    # the kernel unflipped; verified numerically against torch).
+    w = np.asarray(sd[prefix + ".weight"])
+    out = {"kernel": np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def convert_vda(sd: Mapping[str, Array], num_layers: int = 24,
+                out_indices=(5, 12, 18, 24),
+                reassemble_factors=(4.0, 2.0, 1.0, 0.5)) -> Dict[str, Any]:
+    """transformers DepthAnythingForDepthEstimation state dict -> flax
+    ``models.vda.VideoDepthAnything`` param tree (spatial part; temporal
+    blocks, when present, keep our native orbax naming -- the single-image
+    HF checkpoints carry none).
+
+    Key layout read from transformers modeling_depth_anything.py /
+    modeling_dinov2.py (the reference consumes the same family through the
+    non-vendored Video-Depth-Anything checkout, main_alignment.py:108-112).
+    """
+    bb: Dict[str, Any] = {
+        "patch_embeddings": _conv2d(sd, "backbone.embeddings.patch_embeddings.projection"),
+        "cls_token": np.asarray(sd["backbone.embeddings.cls_token"]),
+        "position_embeddings": np.asarray(sd["backbone.embeddings.position_embeddings"]),
+        "layernorm": _ln(sd, "backbone.layernorm"),
+    }
+    for i in range(num_layers):
+        p = f"backbone.encoder.layer.{i}"
+        bb[f"layer_{i}"] = {
+            "norm1": _ln(sd, p + ".norm1"),
+            "attention": {
+                "query": _lin(sd, p + ".attention.attention.query"),
+                "key": _lin(sd, p + ".attention.attention.key"),
+                "value": _lin(sd, p + ".attention.attention.value"),
+                "out": _lin(sd, p + ".attention.output.dense"),
+            },
+            "layer_scale1": np.asarray(sd[p + ".layer_scale1.lambda1"]),
+            "norm2": _ln(sd, p + ".norm2"),
+            "mlp": {"fc1": _lin(sd, p + ".mlp.fc1"),
+                    "fc2": _lin(sd, p + ".mlp.fc2")},
+            "layer_scale2": np.asarray(sd[p + ".layer_scale2.lambda1"]),
+        }
+
+    head: Dict[str, Any] = {}
+    n_stages = len(reassemble_factors)
+    for i, factor in enumerate(reassemble_factors):
+        p = f"neck.reassemble_stage.layers.{i}"
+        head[f"reassemble_{i}_projection"] = _conv2d(sd, p + ".projection")
+        if factor > 1:
+            head[f"reassemble_{i}_resize"] = _conv_transpose2d(sd, p + ".resize")
+        elif factor < 1:
+            head[f"reassemble_{i}_resize"] = _conv2d(sd, p + ".resize")
+        head[f"neck_conv_{i}"] = _conv2d(sd, f"neck.convs.{i}")
+    for i in range(n_stages):
+        p = f"neck.fusion_stage.layers.{i}"
+        fusion: Dict[str, Any] = {
+            "projection": _conv2d(sd, p + ".projection"),
+            "residual_layer2": {
+                "convolution1": _conv2d(sd, p + ".residual_layer2.convolution1"),
+                "convolution2": _conv2d(sd, p + ".residual_layer2.convolution2"),
+            },
+        }
+        if i > 0:
+            fusion["residual_layer1"] = {
+                "convolution1": _conv2d(sd, p + ".residual_layer1.convolution1"),
+                "convolution2": _conv2d(sd, p + ".residual_layer1.convolution2"),
+            }
+        else:
+            # the first (deepest) fusion layer never receives a residual, so
+            # our module has no residual_layer1; consume the torch params
+            # (initialised but unused there too) to keep the contract exact.
+            for q in (".residual_layer1.convolution1", ".residual_layer1.convolution2"):
+                _conv2d(sd, p + q)
+        head[f"fusion_{i}"] = fusion
+    head["head_conv1"] = _conv2d(sd, "head.conv1")
+    head["head_conv2"] = _conv2d(sd, "head.conv2")
+    head["head_conv3"] = _conv2d(sd, "head.conv3")
+    return {"backbone": bb, "head": head}
+
+
+def expected_vda_keys(num_layers: int = 24,
+                      reassemble_factors=(4.0, 2.0, 1.0, 0.5)) -> set:
+    """Expected checkpoint keys for HF single-image Depth Anything
+    (transformers modeling_depth_anything.py module tree)."""
+    keys: list = ["backbone.embeddings.cls_token",
+                  "backbone.embeddings.position_embeddings",
+                  # present in HF checkpoints (use_mask_token=True) but never
+                  # used for backbone inference; consumed-and-dropped
+                  "backbone.embeddings.mask_token"]
+    keys += _wb("backbone.embeddings.patch_embeddings.projection")
+    keys += _wb("backbone.layernorm")
+    for i in range(num_layers):
+        p = f"backbone.encoder.layer.{i}"
+        keys += _wb(p + ".norm1") + _wb(p + ".norm2")
+        for proj in ("query", "key", "value"):
+            keys += _wb(f"{p}.attention.attention.{proj}")
+        keys += _wb(p + ".attention.output.dense")
+        keys += _wb(p + ".mlp.fc1") + _wb(p + ".mlp.fc2")
+        keys += [p + ".layer_scale1.lambda1", p + ".layer_scale2.lambda1"]
+    for i, factor in enumerate(reassemble_factors):
+        p = f"neck.reassemble_stage.layers.{i}"
+        keys += _wb(p + ".projection")
+        if factor != 1:
+            keys += _wb(p + ".resize")
+        keys.append(f"neck.convs.{i}.weight")
+    for i in range(len(reassemble_factors)):
+        p = f"neck.fusion_stage.layers.{i}"
+        keys += _wb(p + ".projection")
+        for r in ("residual_layer1", "residual_layer2"):
+            keys += _wb(f"{p}.{r}.convolution1") + _wb(f"{p}.{r}.convolution2")
+    for c in ("conv1", "conv2", "conv3"):
+        keys += _wb(f"head.{c}")
+    return set(keys)
+
+
 def adapt_patch_embed_in_channels(kernel: Array, target_in: int) -> Array:
     """Shape-adaptive patch-embed loading (reference
     crosstransformer3d.py:912-950 ``from_pretrained_2d``): when the
@@ -660,7 +778,7 @@ def verify_state_dict(sd: Mapping[str, Array], expected: set, label: str,
 # ----------------------------------------------------------------------------
 
 
-_COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae")
+_COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae", "vda")
 
 
 def _convert_component(component: str, src: str, num_layers: int = 42,
@@ -700,6 +818,12 @@ def _convert_component(component: str, src: str, num_layers: int = 42,
         return convert_svd_unet(sd)
     if component == "svd_vae":
         return convert_svd_vae(sd)
+    if component == "vda":
+        bcfg = cfg.get("backbone_config", {})
+        num_layers = bcfg.get("num_hidden_layers", 24)
+        factors = tuple(cfg.get("reassemble_factors", (4.0, 2.0, 1.0, 0.5)))
+        verify_state_dict(sd, expected_vda_keys(num_layers, factors), "vda")
+        return convert_vda(sd, num_layers, reassemble_factors=factors)
     raise ValueError(f"unknown component {component!r}; pick from {_COMPONENTS}")
 
 
