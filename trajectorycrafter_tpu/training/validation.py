@@ -132,12 +132,22 @@ def sanity_check_batch(batch: Dict[str, np.ndarray], step: int = 0) -> str:
 
 
 class MetricsLogger:
-    """Append-only jsonl metrics sink (stands in for the reference's
-    accelerate tensorboard tracker, training_loop.py:277)."""
+    """Append-only jsonl metrics sink, plus a tensorboard event stream when
+    torch's SummaryWriter is importable (the reference logs train_loss via
+    accelerate's tensorboard tracker, training_loop.py:277)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, tensorboard: bool = True):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.path = path
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(os.path.dirname(path) or ".", "tb"))
+            except Exception:
+                pass  # jsonl remains the source of truth
 
     def log(self, step: int, **metrics) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -146,3 +156,7 @@ class MetricsLogger:
                 hasattr(v, "shape") and np.ndim(v) == 0) else v
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
