@@ -1,0 +1,149 @@
+"""Non-denoise stage benchmark: measure the pipeline stages the headline
+bench attributes by ratio (bench.py est_sec_per_video = 50*step/0.8).
+
+Measures at the production 49f@384x672 configuration with synthetic weights
+(same shapes as the real checkpoints, so identical compute):
+
+  * VAE decode of the final (1, 13, 48, 84, 16) latents;
+  * VAE encode of the conditioning videos (masked video + 10 ref frames),
+    run once per sample (pipeline_trajectorycrafter.py:874-1028 analog);
+  * one DepthCrafter UNet denoise step at 49f x 576x1024 (depth runs at
+    max_res 1024, 5 steps, no CFG -- models/infer.py:52-92 analog);
+  * the forward-splat warp of 49 frames at 576x1024.
+
+Prints ONE JSON line with per-stage seconds and a measured whole-video
+estimate: 50 denoise steps (from bench.py's measured step, passed via
+--step_s) + encodes + decode + 5 depth steps + warp + fixed host I/O slack.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def synth(model, args, dtype, seed=0):
+    """One jit'd init on (tiny) example args -- conv/dense param shapes are
+    input-size independent, and a single compile avoids one remote-compile
+    round trip per unique leaf shape (minutes through the axon helper)."""
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), *args)["params"]
+    return jax.tree.map(lambda a: a.astype(dtype), params)
+
+
+def timeit(fn, *args, iters=2):
+    """Axon-relay-safe timing: one jit program whose output is a scalar
+    reduction of the stage result, fetched to host each iteration
+    (block_until_ready can return early through the relay; a value fetch
+    cannot)."""
+
+    @jax.jit
+    def forced(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    float(forced(*args))  # warm compile
+    t0 = time.time()
+    for _ in range(iters):
+        float(forced(*args))
+    return (time.time() - t0) / iters
+
+
+def main():
+    small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
+    step_s = None
+    for a in sys.argv[1:]:
+        if a.startswith("--step_s="):
+            step_s = float(a.split("=")[1])
+    dtype = jnp.bfloat16
+    result = {"metric": "stage_latency", "unit": "s (49f@384x672 unless noted)"}
+
+    # --- 3D VAE ------------------------------------------------------------
+    from trajectorycrafter_tpu.models.vae import (
+        AutoencoderKLCogVideoX,
+        vae_decode,
+        vae_encode,
+    )
+
+    if small:
+        f_pix, hh, ww = 5, 64, 96
+        ref_pix = 2
+    else:
+        f_pix, hh, ww = 49, 384, 672
+        ref_pix = 10
+    vae = AutoencoderKLCogVideoX(dtype=dtype, param_dtype=dtype)
+    ex = jnp.zeros((1, 1, 8, 8, 3), dtype)
+    vparams = synth(vae, (ex,), dtype)
+
+    lat = jnp.zeros((1, (f_pix - 1) // 4 + 1, hh // 8, ww // 8, 16), dtype)
+    print("# measuring vae_decode...", file=sys.stderr, flush=True)
+    result["vae_decode_s"] = round(
+        timeit(lambda p, z: vae_decode(vae, p, z), vparams, lat), 3)
+
+    vid = jnp.zeros((1, f_pix, hh, ww, 3), dtype)
+    refv = jnp.zeros((1, ref_pix, hh, ww, 3), dtype)
+    enc = lambda p, x: vae_encode(vae, p, x)
+    print("# measuring vae_encode...", file=sys.stderr, flush=True)
+    result["vae_encode_masked_s"] = round(timeit(enc, vparams, vid), 3)
+    result["vae_encode_ref_s"] = round(timeit(enc, vparams, refv), 3)
+
+    # --- DepthCrafter UNet step at 576x1024 --------------------------------
+    from trajectorycrafter_tpu.models.depthcrafter import (
+        UNetSpatioTemporalConditionModel,
+    )
+
+    if small:
+        df, dh, dw = 3, 64, 128  # latent 8x16 stays divisible through 3 downs
+        unet = UNetSpatioTemporalConditionModel(
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            num_attention_heads=(2, 4, 4, 8), dtype=dtype, param_dtype=dtype)
+    else:
+        df, dh, dw = 49, 576, 1024
+        unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype)
+    zl = jnp.zeros((1, df, dh // 8, dw // 8, 8), dtype)
+    t = jnp.zeros((1,), jnp.float32)
+    clip_emb = jnp.zeros((1, df, 1, 1024), dtype)
+    added = jnp.zeros((1, 3), jnp.float32)
+    # init at a tiny spatial grid (param shapes are input-size independent)
+    zl_init = jnp.zeros((1, 2, 16, 16, 8), dtype)
+    clip_init = jnp.zeros((1, 2, 1, 1024), dtype)
+    uparams = synth(unet, (zl_init, t, clip_init, added), dtype)
+    ustep = jax.jit(lambda p, z: unet.apply({"params": p}, z, t, clip_emb, added))
+    print("# measuring depth_unet...", file=sys.stderr, flush=True)
+    result["depth_unet_step_s"] = round(timeit(ustep, uparams, zl), 3)
+    result["depth_total_s"] = round(result["depth_unet_step_s"] * 5, 3)
+
+    # --- forward-splat warp at 576x1024 ------------------------------------
+    from trajectorycrafter_tpu.ops.splat import forward_warp_batch
+
+    wf = 5 if small else 49
+    whh, www = (64, 96) if small else (576, 1024)
+    frames = jnp.zeros((wf, whh, www, 3))
+    depths = jnp.ones((wf, whh, www))
+    pose = jnp.tile(jnp.eye(4)[None], (wf, 1, 1))
+    K = jnp.tile(jnp.asarray([[500.0, 0, www / 2], [0, 500.0, whh / 2],
+                              [0, 0, 1]])[None], (wf, 1, 1))
+    warp = jax.jit(lambda fr, d: forward_warp_batch(fr, d, pose, pose, K))
+    print("# measuring warp...", file=sys.stderr, flush=True)
+    result["warp_49f_s"] = round(timeit(warp, frames, depths), 3)
+
+    if step_s is not None:
+        total = (50.0 * step_s + result["vae_decode_s"]
+                 + result["vae_encode_masked_s"] + result["vae_encode_ref_s"]
+                 + result["depth_total_s"] + result["warp_49f_s"]
+                 + 5.0)  # host I/O / caption slack
+        result["measured_sec_per_video_384x672"] = round(total, 1)
+        result["value"] = result["measured_sec_per_video_384x672"]
+        result["vs_baseline"] = round(290.0 / total, 3)
+    else:
+        result["value"] = result["vae_decode_s"]
+        result["vs_baseline"] = 0.0
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -156,10 +156,15 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, s, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
         v = v.reshape(b, -1, self.heads, self.head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * self.head_dim**-0.5
-        w = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, s, inner)
+        # dispatch through the shared attention layer: at the production
+        # depth resolution (576x1024 -> 9216 spatial tokens x 49 frames) a
+        # materialised score tensor is ~83 GB fp32, so long self-attention
+        # must take the tiled flash path (the reference leans on xformers
+        # for the same reason, models/infer.py:46); tiny/cross shapes stay
+        # on the XLA einsum.
+        from trajectorycrafter_tpu.ops.attention import multi_head_attention
+
+        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(out)
 
