@@ -119,3 +119,29 @@ def test_consistent_autoregressive_end_to_end(tmp_path):
         sd = os.path.join(cfg.save_dir, f"stage_{stage:02d}")
         assert os.path.getsize(os.path.join(sd, "gen.mp4")) > 0
         assert os.path.exists(os.path.join(sd, "c2ws_target.npy"))
+
+
+def test_segment_depth_via_vda(tmp_path, rng):
+    """VDA-backed segment depth: reflect-pad to multiple-of-14, windowed
+    32/10 inference, inverse->metric conversion."""
+    from trajectorycrafter_tpu.models.vda import VDAConfig, VideoDepthAnything
+
+    cfg = TrajCrafterConfig()
+    cfg.allow_dev_stubs = True
+    vcfg = VDAConfig(hidden_size=16, num_hidden_layers=2,
+                     num_attention_heads=2, patch_size=14, image_size=28,
+                     out_indices=(1, 1, 2, 2), features=8,
+                     out_channels=(8, 8, 8, 8), head_hidden_size=4,
+                     num_temporal_blocks=0, temporal_heads=2)
+    model = VideoDepthAnything(vcfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 1, 28, 28, 3)))["params"]
+    params["head"]["head_conv3"]["bias"] = jnp.full_like(
+        params["head"]["head_conv3"]["bias"], 0.5)
+
+    tc = TrajCrafterConsistentDepth(cfg, vda=(model, params))
+    frames = rng.random((5, 30, 44, 3)).astype(np.float32)  # not mult of 14
+    d = tc._segment_depth(frames)
+    assert d.shape == (5, 30, 44)
+    assert np.isfinite(d).all()
+    assert (d >= 0).all()

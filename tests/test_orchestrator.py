@@ -67,3 +67,49 @@ def test_autoregressive_v1_end_to_end(tmp_path, input_video):
     out = tc.infer_autoregressive(n_splits=2, overlap_frames=2, theta=30.0)
     assert out.shape[0] == 2 * 9 - 2  # segments minus overlap
     assert np.all(np.isfinite(out))
+
+
+@pytest.mark.slow
+def test_direct_mode_end_to_end(tmp_path, input_video):
+    """Direct mode: freeze-then-follow with the save_skip scheme
+    (reference demo.py:169-303, cut frames dropped from gen/render/mask)."""
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+
+    cfg = _micro_cfg(tmp_path, mode="direct")
+    cfg.video_path = input_video
+    tc = TrajCrafter(cfg)
+    gen = tc.infer_direct(cut=3)
+    # infer_direct returns the full generated clip; saved artefacts drop cut
+    assert gen.shape == (9, 32, 48, 3)
+    assert np.all(np.isfinite(gen))
+    for name in ("input.mp4", "render.mp4", "mask.mp4", "gen.mp4", "viz.mp4"):
+        assert os.path.getsize(os.path.join(cfg.save_dir, name)) > 0
+
+
+@pytest.mark.slow
+def test_zoom_mode_end_to_end(tmp_path, input_video):
+    """Dolly-zoom: per-frame focal ramp K2 (reference demo.py:418-524)."""
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+
+    cfg = _micro_cfg(tmp_path, mode="zoom")
+    cfg.video_path = input_video
+    tc = TrajCrafter(cfg)
+    gen = tc.infer_zoom(f_new=300.0)
+    assert gen.shape == (9, 32, 48, 3)
+    assert np.all(np.isfinite(gen))
+
+
+@pytest.mark.slow
+def test_autoregressive_v2_global_cloud_end_to_end(tmp_path, input_video):
+    """v2: global point-cloud autoregression (reference
+    autoregressive_global.py:42-344): render from cloud, diffuse, re-lift
+    with IQR scale alignment, merge."""
+    from trajectorycrafter_tpu.autoregressive import TrajCrafterGlobalPointCloud
+
+    cfg = _micro_cfg(tmp_path, mode="gradual")
+    cfg.video_path = input_video
+    tc = TrajCrafterGlobalPointCloud(cfg)
+    out = tc.infer_autoregressive(n_splits=2, overlap_frames=2, theta=30.0,
+                                  max_points=200_000)
+    assert out.shape[0] == 2 * 9 - 2
+    assert np.all(np.isfinite(out))

@@ -141,3 +141,25 @@ def test_imagenet_normalise_roundtrip(rng):
     x = rng.random((2, 4, 4, 3), dtype=np.float32)
     back = denormalize_imagenet(normalize_imagenet(jnp.asarray(x)))
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_infer_video_depth_windowed(rng):
+    """Windowed chaining: scale/shift-aligned overlap, ramp blend, full
+    coverage of an arbitrary-length clip (INFER_LEN/OVERLAP scheme)."""
+    import jax
+    from trajectorycrafter_tpu.models.vda import infer_video_depth
+
+    cfg = _tiny_cfg(0)
+    model = VideoDepthAnything(cfg)
+    frames = jnp.asarray(rng.standard_normal((11, 28, 28, 3), dtype=np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), frames[None, :1])["params"]
+    # bias the head so depth is non-zero (alive relu) and alignment is
+    # well-posed
+    params["head"]["head_conv3"]["bias"] = jnp.full_like(
+        params["head"]["head_conv3"]["bias"], 0.5)
+    out = infer_video_depth(model, params, frames, window=6, overlap=2)
+    assert out.shape == (11, 28, 28)
+    assert np.isfinite(np.asarray(out)).all()
+    # single-window path
+    out1 = infer_video_depth(model, params, frames[:4], window=6, overlap=2)
+    assert out1.shape == (4, 28, 28)

@@ -202,6 +202,8 @@ class TrajCrafterConsistentDepth(TrajCrafter):
         multiple of 14, VDA forward, invert with depth_scale, crop)."""
         if self.vda is None:
             return self._estimate_depth(frames01)[:, 0]
+        from trajectorycrafter_tpu.models.vda import infer_video_depth
+
         model, params = self.vda
         f, h, w, _ = frames01.shape
         ph = (-h) % 14
@@ -210,7 +212,9 @@ class TrajCrafterConsistentDepth(TrajCrafter):
         x = jnp.pad(jnp.asarray(frames01),
                     ((0, 0), (top, ph - top), (left, pw - left), (0, 0)),
                     mode="reflect")
-        inv = model.apply({"params": params}, normalize_imagenet(x)[None])[0]
+        # windowed 32/10 chaining for clips longer than the VDA context
+        # (consistent_depth.py:43-47 INFER_LEN/OVERLAP)
+        inv = infer_video_depth(model, params, normalize_imagenet(x))
         inv = inv[:, top : top + h, left : left + w]
         return np.asarray(invert_depth_with_scale(inv, self.depth_scale))
 

@@ -438,6 +438,50 @@ class VideoDepthAnything(nn.Module):
         return depth.reshape(b, t, h, w)
 
 
+def infer_video_depth(
+    model: "VideoDepthAnything",
+    params,
+    frames_im: jnp.ndarray,  # (F, H, W, 3) ImageNet-normalised
+    window: int = 32,
+    overlap: int = 10,
+) -> jnp.ndarray:
+    """Windowed inverse-depth inference for arbitrary-length videos
+    (reference consistent_depth.py:43-47 INFER_LEN=32 / OVERLAP=10).
+
+    Each later window is scale/shift-aligned to the previous result on the
+    shared overlap frames (closed-form least squares) and ramp-blended across
+    the overlap, keeping the relative depth scale consistent through the
+    video -- the public Video-Depth-Anything chaining scheme.
+    """
+    from trajectorycrafter_tpu.depth_alignment import compute_scale_and_shift
+
+    f = frames_im.shape[0]
+    window = min(window, f)
+    stride = max(window - overlap, 1)
+    starts = list(range(0, max(f - window, 0) + 1, stride))
+    if starts[-1] + window < f:
+        starts.append(f - window)
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x[None])[0])
+    out = jnp.zeros((f,) + frames_im.shape[1:3], jnp.float32)
+    prev_start = None
+    for s in starts:
+        d = fwd(params, frames_im[s : s + window]).astype(jnp.float32)
+        ov = 0
+        if prev_start is not None:
+            ov = min(max(prev_start + window - s, 0), window)
+        if ov > 0:
+            scale, shift = compute_scale_and_shift(
+                d[:ov].reshape(1, -1), out[s : s + ov].reshape(1, -1),
+                jnp.ones((1, ov * d.shape[1] * d.shape[2])))
+            d = d * scale[0] + shift[0]
+            w = jnp.linspace(0.0, 1.0, ov)[:, None, None]
+            d = d.at[:ov].set(d[:ov] * w + out[s : s + ov] * (1.0 - w))
+        out = out.at[s : s + window].set(d)
+        prev_start = s
+    return out
+
+
 def normalize_imagenet(frames01: jnp.ndarray) -> jnp.ndarray:
     """[0,1] RGB -> ImageNet-normalised (consistent_depth.py:219)."""
     mean = jnp.asarray(IMAGENET_MEAN, frames01.dtype)
