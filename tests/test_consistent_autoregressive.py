@@ -16,7 +16,7 @@ from trajectorycrafter_tpu.config import TrajCrafterConfig
 from trajectorycrafter_tpu.consistent_autoregressive import (
     DEPTH_SCALE,
     TrajCrafterConsistentDepth,
-    estimate_depth_with_alignment,
+    estimate_depth_with_prompt_alignment,
     invert_depth_with_scale,
     lift_video_to_pcs,
     merge_pcs_downsample,
@@ -86,7 +86,7 @@ def test_estimate_depth_with_alignment_scale_shift_path(rng):
     mask[:, ::3, ::3] = 1.0  # sparse samples
     K = np.asarray([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1.0]])
     ext = np.tile(np.eye(4)[None], (f, 1, 1))
-    out = estimate_depth_with_alignment(
+    out = estimate_depth_with_prompt_alignment(
         frames, sparse, mask, K, ext, trainer, resize_factor=2, epochs=3)
     assert out.shape == (f, h, w)
     assert np.isfinite(out).all()

@@ -87,7 +87,7 @@ def test_vda_spatial_parity_vs_transformers(rng):
 
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
     verify_state_dict(sd, expected_vda_keys(4), "vda")
-    params = convert_vda(sd, num_layers=4, out_indices=(1, 2, 3, 4))
+    params = convert_vda(sd, num_layers=4)
     model = VideoDepthAnything(_tiny_cfg(0))
     frames = jnp.asarray(px.transpose(0, 2, 3, 1))[:, None]  # (B, T=1, H, W, 3)
     got = np.asarray(model.apply({"params": params}, frames))[:, 0]
@@ -102,7 +102,7 @@ def test_vda_spatial_parity_nondefault_grid(rng):
     with torch.no_grad():
         want = hf(pixel_values=torch.from_numpy(px)).predicted_depth.numpy()
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
-    params = convert_vda(sd, num_layers=4, out_indices=(1, 2, 3, 4))
+    params = convert_vda(sd, num_layers=4)
     model = VideoDepthAnything(_tiny_cfg(0))
     got = np.asarray(
         model.apply({"params": params}, jnp.asarray(px.transpose(0, 2, 3, 1))[:, None])

@@ -98,10 +98,17 @@ def lift_video_to_pcs(
     poses: jnp.ndarray,  # (F, 4, 4) c2w
 ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Per-frame unprojection (autoregressive_loop_alignment.py:17-41
-    ``video_to_pcs`` keeps one cloud per frame, unlike the v2 global merge)."""
+    ``video_to_pcs`` keeps one cloud per frame, unlike the v2 global merge).
+
+    Pixels with invalid (zero) depth -- the VDA path emits exact zeros for
+    invalid disparity -- are parked at NaN instead of the camera origin:
+    NaN coordinates fail every bounds comparison in render_zbuffer, so the
+    points are culled rather than rendered as near occluders."""
     out = []
     for i in range(frames.shape[0]):
         pts, cols = lift_to_pointcloud(frames[i], depths[i], intrinsic, poses[i])
+        valid = (depths[i] > 1e-6).reshape(-1, 1)
+        pts = jnp.where(valid, pts, jnp.nan)
         out.append((pts, cols))
     return out
 
@@ -127,7 +134,7 @@ def _snap(v: int, multiple: int) -> int:
     return max((v // multiple) * multiple, multiple)
 
 
-def estimate_depth_with_alignment(
+def estimate_depth_with_prompt_alignment(
     frames01: np.ndarray,  # (F, H, W, 3) in [0, 1]
     sparse_depth: np.ndarray,  # (F, H, W) metric, 0 = invalid
     sparse_mask: np.ndarray,  # (F, H, W)
@@ -227,7 +234,7 @@ class TrajCrafterConsistentDepth(TrajCrafter):
         _, sparse_depth, sparse_mask = render_video_from_pcs(
             global_pcs, poses_source, intrinsic, hw)
         if self.trainer is not None:
-            aligned = estimate_depth_with_alignment(
+            aligned = estimate_depth_with_prompt_alignment(
                 frames01, sparse_depth, sparse_mask, np.asarray(intrinsic),
                 np.asarray(poses_source), self.trainer,
                 depth_scale=self.depth_scale,

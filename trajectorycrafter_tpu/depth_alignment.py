@@ -259,20 +259,31 @@ class DepthAlignmentTrainer:
 
     def __init__(self, model, params, lr: float = 2e-3,
                  simple_weight: float = 1.0, ssi_weight: float = 1.0,
-                 tae_weight: float = 0.0, mode: str = "VP"):
+                 tae_weight: float = 0.0, mode: str = "VP",
+                 depth_scale: float = 10000.0):
         self.model = model
         self.params = params
         self.lr = lr
         self.simple_weight = simple_weight
         self.ssi_weight = ssi_weight
         self.tae_weight = tae_weight
+        self.depth_scale = depth_scale
         if mode not in ("VP", "FT"):
             raise ValueError(f"mode must be 'VP' or 'FT', got {mode!r}")
         self.mode = mode
+        self._run = self._build_run()
 
-    def _loss(self, depth_inv, sparse_inv, mask, intrinsics, extrinsics):
+    def _loss(self, depth_inv, sparse_inv, mask, intrinsics, extrinsics,
+              use_tae: bool):
         """Combined loss on inverse depth (depth_losses.py
-        CombinedDepthLossWithTAE: simple L1+RMSE + VDA-style SSI + TAE)."""
+        CombinedDepthLossWithTAE: simple L1+RMSE + VDA-style SSI + TAE).
+
+        The TAE term operates on METRIC depth recovered via ``depth_scale``:
+        the reference feeds raw inverse depth into its DifferentiableTAELoss,
+        whose (1e-3, 100) validity window then rejects scaled-disparity
+        values wholesale (the term also ships weight 0.0 there,
+        depth_trainer.py:43) -- converting first makes the loss live when
+        ``tae_weight`` is enabled."""
         m = mask.astype(depth_inv.dtype)
         denom = jnp.maximum(m.sum(), 1.0)
         l1 = jnp.sum(m * jnp.abs(depth_inv - sparse_inv)) / denom
@@ -285,10 +296,62 @@ class DepthAlignmentTrainer:
                 1.0 / jnp.maximum(depth_inv, 1e-6),
                 1.0 / jnp.maximum(sparse_inv, 1e-6), m)
             loss = loss + self.ssi_weight * ssi
-        if self.tae_weight > 0.0 and intrinsics is not None:
+        if self.tae_weight > 0.0 and use_tae:
+            metric = jnp.where(depth_inv > 1e-6,
+                               self.depth_scale / jnp.maximum(depth_inv, 1e-6),
+                               0.0)
             loss = loss + self.tae_weight * differentiable_tae(
-                depth_inv, intrinsics, extrinsics)
+                metric, intrinsics, extrinsics)
         return loss
+
+    def _build_run(self):
+        """One jitted optimisation program per trainer: data enters as
+        arguments (not traced constants), so consecutive stages with the
+        same shapes hit the jit cache instead of recompiling the whole
+        epochs-long scan through the model each call."""
+        model = self.model
+
+        def predict(p, prompt, frames, sparse, mask):
+            d = model.apply({"params": p}, (frames + prompt)[None])[0]
+            scale, shift = compute_scale_and_shift(
+                d.reshape(1, -1), sparse.reshape(1, -1), mask.reshape(1, -1))
+            return d * scale[0] + shift[0], scale[0], shift[0]
+
+        def run(params, frames, sparse, mask, intrinsics, extrinsics,
+                epochs, use_tae):
+            def loss_fn(theta):
+                p, prompt = theta
+                d, _, _ = predict(p, prompt, frames, sparse, mask)
+                return self._loss(d, sparse, mask, intrinsics, extrinsics,
+                                  use_tae)
+
+            prompt0 = jnp.zeros_like(frames)
+            theta = (params, prompt0)
+            # freeze one half of theta with a zero-update transform
+            lbl_params = jax.tree.map(
+                lambda _: "train" if self.mode == "FT" else "freeze", params)
+            lbl_prompt = "train" if self.mode == "VP" else "freeze"
+            opt = optax.multi_transform(
+                {"train": optax.adamw(self.lr), "freeze": optax.set_to_zero()},
+                (lbl_params, lbl_prompt),
+            )
+            state = opt.init(theta)
+
+            def step(carry, _):
+                th, st = carry
+                loss, g = jax.value_and_grad(loss_fn)(th)
+                updates, st = opt.update(g, st, th)
+                th = optax.apply_updates(th, updates)
+                return (th, st), loss
+
+            (theta, _), losses = jax.lax.scan(step, (theta, state), None,
+                                              length=epochs)
+            final_p, final_prompt = theta
+            d, scale, shift = predict(final_p, final_prompt, frames, sparse,
+                                      mask)
+            return d, final_prompt, scale, shift, losses
+
+        return jax.jit(run, static_argnames=("epochs", "use_tae"))
 
     def train(
         self,
@@ -306,54 +369,21 @@ class DepthAlignmentTrainer:
         whole clip, and the combined loss drives AdamW on the prompt (VP)
         or the parameters (FT).
         """
-        model, params = self.model, self.params
         frames = jnp.asarray(frames_im)
         sparse = jnp.asarray(sparse_depth_inv)
         mask = jnp.asarray(sparse_mask)
-        if intrinsics is not None:
+        use_tae = intrinsics is not None
+        f = frames.shape[0]
+        if use_tae:
             intrinsics = jnp.asarray(intrinsics)
             extrinsics = jnp.asarray(extrinsics)
+        else:  # shape-stable dummies keep the jit signature uniform
+            intrinsics = jnp.eye(3)
+            extrinsics = jnp.tile(jnp.eye(4)[None], (f, 1, 1))
 
-        def predict(p, prompt):
-            d = model.apply({"params": p}, (frames + prompt)[None])[0]
-            scale, shift = compute_scale_and_shift(
-                d.reshape(1, -1), sparse.reshape(1, -1), mask.reshape(1, -1))
-            return d * scale[0] + shift[0], scale[0], shift[0]
-
-        def loss_fn(theta):
-            p, prompt = theta
-            d, _, _ = predict(p, prompt)
-            return self._loss(d, sparse, mask, intrinsics, extrinsics)
-
-        prompt0 = jnp.zeros_like(frames)
-        theta = (params, prompt0)
-        # freeze one half of theta with a zero-update transform
-        lbl_params = jax.tree.map(
-            lambda _: "train" if self.mode == "FT" else "freeze", params)
-        lbl_prompt = "train" if self.mode == "VP" else "freeze"
-        opt = optax.multi_transform(
-            {"train": optax.adamw(self.lr), "freeze": optax.set_to_zero()},
-            (lbl_params, lbl_prompt),
-        )
-
-        @jax.jit
-        def run(theta):
-            state = opt.init(theta)
-
-            def step(carry, _):
-                th, st = carry
-                loss, g = jax.value_and_grad(loss_fn)(th)
-                updates, st = opt.update(g, st, th)
-                th = optax.apply_updates(th, updates)
-                return (th, st), loss
-
-            (theta, _), losses = jax.lax.scan(step, (theta, state), None,
-                                              length=epochs)
-            final_p, final_prompt = theta
-            d, scale, shift = predict(final_p, final_prompt)
-            return d, final_prompt, scale, shift, losses
-
-        d, prompt, scale, shift, losses = run(theta)
+        d, prompt, scale, shift, losses = self._run(
+            self.params, frames, sparse, mask, intrinsics, extrinsics,
+            epochs, use_tae and self.tae_weight > 0.0)
         self._last_losses = np.asarray(losses)
         return d, prompt, float(scale), float(shift)
 

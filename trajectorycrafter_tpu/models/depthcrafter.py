@@ -159,12 +159,18 @@ class CrossAttention(nn.Module):
         # dispatch through the shared attention layer: at the production
         # depth resolution (576x1024 -> 9216 spatial tokens x 49 frames) a
         # materialised score tensor is ~83 GB fp32, so long self-attention
-        # must take the tiled flash path (the reference leans on xformers
-        # for the same reason, models/infer.py:46); tiny/cross shapes stay
-        # on the XLA einsum.
+        # must take a tiled flash path (the reference leans on xformers for
+        # the same reason, models/infer.py:46).  The STOCK running-max
+        # kernel, not the exp2 one: the exp2 kernel's fixed-bias softmax is
+        # only exact for bounded (QK-normed) scores, and this UNet has no
+        # QK-norm.  Tiny/cross shapes stay on the XLA einsum.
         from trajectorycrafter_tpu.ops.attention import multi_head_attention
 
-        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5)
+        s_kv = k.shape[1]
+        on_tpu = jax.devices()[0].platform != "cpu"
+        impl = "flash_stock" if (on_tpu and s * s_kv >= 1024 * 1024) else "xla"
+        out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
+                                   impl=impl)
         return nn.Dense(self.out_dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="to_out")(out)
 

@@ -64,7 +64,6 @@ class VDAConfig:
         head_hidden_size: int = 32,
         num_temporal_blocks: int = 4,
         temporal_heads: int = 8,
-        max_frames: int = 32,
     ):
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -83,7 +82,6 @@ class VDAConfig:
         self.head_hidden_size = head_hidden_size
         self.num_temporal_blocks = num_temporal_blocks
         self.temporal_heads = temporal_heads
-        self.max_frames = max_frames
 
 
 def vda_vits_config(**kw) -> VDAConfig:
@@ -214,15 +212,20 @@ class Dinov2Backbone(nn.Module):
 
         final_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                                 param_dtype=self.param_dtype, name="layernorm")
+        # stash every requested stage, then emit one feature per out_index IN
+        # ORDER (duplicates allowed -- a set here would silently shrink the
+        # DPT pyramid below len(out_channels))
         want = set(c.out_indices)
-        feats = []
+        stash = {}
         if 0 in want:  # embeddings count as stage 0
-            feats.append(final_ln(x.astype(jnp.float32)).astype(self.dtype))
+            stash[0] = x
         for i in range(c.num_hidden_layers):
             x = Dinov2Layer(c, self.dtype, self.param_dtype,
                             name=f"layer_{i}")(x)
             if (i + 1) in want:
-                feats.append(final_ln(x.astype(jnp.float32)).astype(self.dtype))
+                stash[i + 1] = x
+        feats = [final_ln(stash[i].astype(jnp.float32)).astype(self.dtype)
+                 for i in c.out_indices]
         return feats, (ph, pw)
 
 
@@ -309,7 +312,6 @@ class TemporalBlock(nn.Module):
 
     channels: int
     heads: int
-    max_frames: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -400,7 +402,7 @@ class DPTTemporalHead(nn.Module):
             fused = layer(m, None, size) if fused is None else layer(fused, m, size)
             if c.num_temporal_blocks > i:
                 vid = fused.reshape(b, t, *fused.shape[1:])
-                vid = TemporalBlock(c.features, c.temporal_heads, c.max_frames,
+                vid = TemporalBlock(c.features, c.temporal_heads,
                                     self.dtype, self.param_dtype,
                                     name=f"temporal_{i}")(vid)
                 fused = vid.reshape(b * t, *fused.shape[1:])
@@ -462,8 +464,8 @@ def infer_video_depth(
     if starts[-1] + window < f:
         starts.append(f - window)
 
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x[None])[0])
     out = jnp.zeros((f,) + frames_im.shape[1:3], jnp.float32)
+    fwd = lambda p, x: _vda_forward(model, p, x)
     prev_start = None
     for s in starts:
         d = fwd(params, frames_im[s : s + window]).astype(jnp.float32)
@@ -480,6 +482,16 @@ def infer_video_depth(
         out = out.at[s : s + window].set(d)
         prev_start = s
     return out
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _vda_forward(model, params, frames):
+    """Shared jitted single-clip forward -- module-level so repeated
+    windows/segments hit the jit cache instead of recompiling per call."""
+    return model.apply({"params": params}, frames[None])[0]
 
 
 def normalize_imagenet(frames01: jnp.ndarray) -> jnp.ndarray:

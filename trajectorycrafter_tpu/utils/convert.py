@@ -464,7 +464,6 @@ def _conv_transpose2d(sd: Mapping[str, Array], prefix: str) -> Dict[str, Array]:
 
 
 def convert_vda(sd: Mapping[str, Array], num_layers: int = 24,
-                out_indices=(5, 12, 18, 24),
                 reassemble_factors=(4.0, 2.0, 1.0, 0.5)) -> Dict[str, Any]:
     """transformers DepthAnythingForDepthEstimation state dict -> flax
     ``models.vda.VideoDepthAnything`` param tree (spatial part; temporal
