@@ -50,7 +50,7 @@ VIDEO_EXAMPLES = [
             "test/videos/tUfDESZsQFhdDW9S.mp4",
             "test/videos/part-2-3.mp4",
             "test/videos/p7.mp4",
-            "test/videos/UST-fn-RvhJwMR5S.mp4",
+            "test/videos/synth.mp4",
         ),
         (e[0] for e in TRAJ_EXAMPLES),
     )

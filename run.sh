@@ -5,7 +5,7 @@
 
 # gradual mode
 python inference.py \
-    --video_path './test/videos/p7.mp4' \
+    --video_path './test/videos/synth.mp4' \
     --stride 2 \
     --out_dir experiments \
     --radius_scale 1 \
