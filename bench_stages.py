@@ -54,6 +54,9 @@ def timeit(fn, *args, iters=2):
 
 
 def main():
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
     step_s = None
     for a in sys.argv[1:]:

@@ -45,10 +45,11 @@ def _flash_attention(q, k, v, scale):
 
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    # pad to large power-of-two blocks: the kernel's MXU utilisation improves
-    # with bigger tiles (measured: bq 2048 / bk 1024 beats 512/512 by ~12%)
+    # bigger tiles help MXU utilisation, but the stock kernel's running-max
+    # state makes bq=2048 overflow the 16M scoped VMEM at some shapes (e.g.
+    # the depth UNet's 49x5x9216x64 with segment ids); 1024/1024 fits
     if min(sq, skv) >= 8192:
-        block_q, block_k = 2048, 1024
+        block_q, block_k = 1024, 1024
     elif min(sq, skv) >= 512:
         block_q, block_k = 512, 512
     else:
