@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -265,11 +266,18 @@ def main():
         result["denoise_step_384x672_s"] = round(step384_s, 4)
         # A100 anchor at this resolution: 290 s * 0.8 / 50 = 4.64 s/step
         result["vs_baseline_384x672"] = round(290.0 * 0.8 / 50.0 / step384_s, 3)
-        # non-denoise stages MEASURED on this chip by bench_stages.py:
-        # VAE decode 3.4 + condition encodes 1.7 + 5 depth-UNet steps 9.7
-        # + 49-frame warp 10.4 + 5 host-I/O slack (replaces the earlier
-        # 80%-attribution guess)
+        # non-denoise stages MEASURED on this chip by bench_stages.py
+        # (VAE decode + condition encodes + 5 depth-UNet steps + warp +
+        # host-I/O slack; replaces the earlier 80%-attribution guess).
+        # Prefer the committed bench_stages.json so the aggregate tracks
+        # the latest stage measurements; 30.2 is the 2026-08-17 snapshot.
         non_denoise_s = 30.2
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_stages.json")) as f:
+                non_denoise_s = float(json.load(f)["non_denoise_s"])
+        except Exception:
+            pass
         result["est_sec_per_video_384x672"] = round(
             50.0 * step384_s + non_denoise_s, 1)
         result["vs_baseline_video"] = round(

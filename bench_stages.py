@@ -63,7 +63,9 @@ def main():
         if a.startswith("--step_s="):
             step_s = float(a.split("=")[1])
     dtype = jnp.bfloat16
-    result = {"metric": "stage_latency", "unit": "s (49f@384x672 unless noted)"}
+    unit = ("s (TINY dev shapes -- not production numbers)" if small
+            else "s (49f@384x672 unless noted)")
+    result = {"metric": "stage_latency", "unit": unit}
 
     # --- 3D VAE ------------------------------------------------------------
     from trajectorycrafter_tpu.models.vae import (
@@ -134,17 +136,24 @@ def main():
     print("# measuring warp...", file=sys.stderr, flush=True)
     result["warp_49f_s"] = round(timeit(warp, frames, depths), 3)
 
-    if step_s is not None:
-        total = (50.0 * step_s + result["vae_decode_s"]
-                 + result["vae_encode_masked_s"] + result["vae_encode_ref_s"]
-                 + result["depth_total_s"] + result["warp_49f_s"]
-                 + 5.0)  # host I/O / caption slack
+    non_denoise = (result["vae_decode_s"] + result["vae_encode_masked_s"]
+                   + result["vae_encode_ref_s"] + result["depth_total_s"]
+                   + result["warp_49f_s"] + 5.0)  # + host I/O / caption slack
+    if step_s is not None and not small:
+        total = 50.0 * step_s + non_denoise
         result["measured_sec_per_video_384x672"] = round(total, 1)
         result["value"] = result["measured_sec_per_video_384x672"]
         result["vs_baseline"] = round(290.0 / total, 3)
     else:
+        # tiny/CPU shapes: per-stage numbers only, no production aggregate
         result["value"] = result["vae_decode_s"]
         result["vs_baseline"] = 0.0
+    if not small:
+        # persist for bench.py's video estimate (keeps the aggregate in sync
+        # with the latest stage measurements instead of a baked-in constant)
+        result["non_denoise_s"] = round(non_denoise, 1)
+        with open("bench_stages.json", "w") as f:
+            json.dump(result, f)
     print(json.dumps(result))
 
 

@@ -68,7 +68,7 @@ def run_pipeline(video_path, stride, center_scale, pose_str, steps, seed,
     """run_gradio equivalent: one generation into a fresh run subdir."""
     theta, phi, r, x, y = [float(v) for v in pose_str.replace(",", ";").split(";")]
     run_dir = os.path.join(cfg.save_dir,
-                           datetime.now().strftime("run_%H%M%S"))
+                           datetime.now().strftime("run_%Y%m%d_%H%M%S"))
     cfg.video_path = video_path
     cfg.stride = int(stride)
     cfg.seed = int(seed)

@@ -34,6 +34,9 @@ def main(argv=None):
                              "visual-prompt trainer)")
     parser.add_argument("--vda_encoder", choices=("vits", "vitb", "vitl"),
                         default="vitl")
+    parser.add_argument("--tae_weight", type=float, default=0.0,
+                        help="weight of the geometric reprojection TAE term "
+                             "in the alignment loss (reference ships 0.0)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     os.makedirs(cfg.save_dir, exist_ok=True)
@@ -49,7 +52,8 @@ def main(argv=None):
 
     tc = TrajCrafterConsistentDepth(cfg, vda=vda,
                                     align_epochs=args.align_epochs,
-                                    resize_factor=args.resize_factor)
+                                    resize_factor=args.resize_factor,
+                                    tae_weight=args.tae_weight)
     video = tc.infer_autoregressive(
         n_splits=args.n_splits,
         theta=args.total_theta,

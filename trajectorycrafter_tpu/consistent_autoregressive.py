@@ -191,14 +191,19 @@ class TrajCrafterConsistentDepth(TrajCrafter):
     """
 
     def __init__(self, cfg, models=None, vda=None, align_epochs: int = 50,
-                 resize_factor: int = 2, depth_scale: float = DEPTH_SCALE):
+                 resize_factor: int = 2, depth_scale: float = DEPTH_SCALE,
+                 tae_weight: float = 0.0):
         super().__init__(cfg, models)
         self.vda = vda
         self.align_epochs = align_epochs
         self.resize_factor = resize_factor
         self.depth_scale = depth_scale
         if vda is not None:
-            self.trainer = DepthAlignmentTrainer(vda[0], vda[1])
+            # forward depth_scale so the trainer's metric-space TAE inverts
+            # with the SAME scale the sparse targets were built with
+            self.trainer = DepthAlignmentTrainer(
+                vda[0], vda[1], depth_scale=depth_scale,
+                tae_weight=tae_weight)
         else:
             self.trainer = None
 

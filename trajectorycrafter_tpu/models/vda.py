@@ -27,6 +27,7 @@ frames as one (B*T) batch (MXU-friendly), temporal attention reshapes to
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -482,9 +483,6 @@ def infer_video_depth(
         out = out.at[s : s + window].set(d)
         prev_start = s
     return out
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("model",))

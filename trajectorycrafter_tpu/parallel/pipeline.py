@@ -19,12 +19,11 @@ sequential block loop on a virtual mesh (tests/test_pipeline_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from trajectorycrafter_tpu.models.dit import (
     CogVideoXBlock,

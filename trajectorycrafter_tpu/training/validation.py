@@ -158,5 +158,11 @@ class MetricsLogger:
             f.write(json.dumps(rec) + "\n")
         if self._tb is not None:
             for k, v in rec.items():
-                if k not in ("step", "time") and isinstance(v, float):
-                    self._tb.add_scalar(k, v, int(step))
+                if k not in ("step", "time") and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, float(v), int(step))
+            self._tb.flush()
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
