@@ -1,0 +1,640 @@
+"""Minimal torch-side shim of the diffusers symbols the reference models import.
+
+The reference's two flagship networks (crosstransformer3d.py,
+autoencoder_magvit.py) are self-contained except for a handful of diffusers
+building blocks.  diffusers itself is not installed here, so this module
+re-implements exactly those symbols -- with the *same parameter names* (so
+``state_dict()`` keys match the published checkpoints) and the *same math*
+(so forward passes are the published forward passes).  Each class below is a
+faithful transcription of the public diffusers implementation the reference
+pins (the CogVideoX-era API: Attention with qk_norm="layer_norm",
+CogVideoXAttnProcessor2_0, CogVideoXLayerNormZero, AdaLayerNorm with
+output_dim/chunk_dim, CogVideoXDownsample3D/Upsample3D, ...).
+
+Used by tests/test_reference_dit_parity.py / test_reference_vae_parity.py to
+instantiate the reference's own CrossTransformer3DModel / AutoencoderKLCogVideoX
+and check our Flax rebuild + utils/convert.py against them numerically.
+
+install() registers the shim under ``sys.modules['diffusers'...]``; it is
+idempotent and refuses to overwrite a real diffusers install.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import logging as _pylogging
+import math
+import sys
+import types
+from dataclasses import dataclass
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+
+# ----------------------------------------------------------------------------
+# configuration_utils
+# ----------------------------------------------------------------------------
+
+
+class ConfigMixin:
+    """Captures decorated-__init__ kwargs into ``self.config`` (attribute
+    access), mirroring diffusers' FrozenDict behaviour closely enough for the
+    reference models (which read e.g. ``self.config.patch_size``)."""
+
+    def register_to_config(self, **kwargs):
+        internal = dict(getattr(self, "_internal_dict", {}))
+        internal.update(kwargs)
+        self._internal_dict = internal
+
+    @property
+    def config(self):
+        return types.SimpleNamespace(**getattr(self, "_internal_dict", {}))
+
+
+def register_to_config(init):
+    @functools.wraps(init)
+    def inner_init(self, *args, **kwargs):
+        sig = inspect.signature(init)
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+        # config is registered BEFORE init runs (as in diffusers), because
+        # e.g. AutoencoderKLCogVideoX.__init__ reads self.config.block_out_channels
+        self.register_to_config(**cfg)
+        init(self, *args, **kwargs)
+
+    return inner_init
+
+
+# ----------------------------------------------------------------------------
+# utils
+# ----------------------------------------------------------------------------
+
+
+def is_torch_version(operation: str, version: str) -> bool:
+    # Only consumed by the reference's gradient-checkpointing branch; torch
+    # here is always >= 1.11.
+    return operation in (">=", ">")
+
+
+def maybe_allow_in_graph(cls):
+    return cls
+
+
+def apply_forward_hook(fn):
+    return fn
+
+
+class _LoggingShim:
+    @staticmethod
+    def get_logger(name=None):
+        return _pylogging.getLogger(name or "diffusers")
+
+
+class FromOriginalModelMixin:
+    pass
+
+
+# ----------------------------------------------------------------------------
+# modeling_utils / modeling_outputs
+# ----------------------------------------------------------------------------
+
+
+class ModelMixin(nn.Module):
+    @property
+    def device(self) -> torch.device:
+        return next(self.parameters()).device
+
+    @property
+    def dtype(self) -> torch.dtype:
+        return next(self.parameters()).dtype
+
+
+@dataclass
+class Transformer2DModelOutput:
+    sample: torch.Tensor
+
+
+@dataclass
+class AutoencoderKLOutput:
+    latent_dist: "DiagonalGaussianDistribution"
+
+
+@dataclass
+class DecoderOutput:
+    sample: torch.Tensor
+
+
+# ----------------------------------------------------------------------------
+# activations
+# ----------------------------------------------------------------------------
+
+
+def get_activation(act_fn: str) -> nn.Module:
+    act_fn = act_fn.lower()
+    table = {"silu": nn.SiLU, "swish": nn.SiLU, "gelu": nn.GELU,
+             "relu": nn.ReLU, "mish": nn.Mish}
+    if act_fn not in table:
+        raise ValueError(f"activation {act_fn!r} not supported by the shim")
+    return table[act_fn]()
+
+
+class GELU(nn.Module):
+    """diffusers GELU wrapper: projection + gelu with selectable approximation."""
+
+    def __init__(self, dim_in: int, dim_out: int, approximate: str = "none",
+                 bias: bool = True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+        self.approximate = approximate
+
+    def forward(self, hidden_states):
+        return F.gelu(self.proj(hidden_states), approximate=self.approximate)
+
+
+# ----------------------------------------------------------------------------
+# embeddings
+# ----------------------------------------------------------------------------
+
+
+def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=False,
+                           downscale_freq_shift=1, scale=1, max_period=10000):
+    assert len(timesteps.shape) == 1, "Timesteps should be a 1d-array"
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * torch.arange(
+        start=0, end=half_dim, dtype=torch.float32, device=timesteps.device)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = torch.exp(exponent)
+    emb = timesteps[:, None].float() * emb[None, :]
+    emb = scale * emb
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+    if embedding_dim % 2 == 1:
+        emb = F.pad(emb, (0, 1, 0, 0))
+    return emb
+
+
+class Timesteps(nn.Module):
+    def __init__(self, num_channels: int, flip_sin_to_cos: bool,
+                 downscale_freq_shift: float, scale: int = 1):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+        self.scale = scale
+
+    def forward(self, timesteps):
+        return get_timestep_embedding(
+            timesteps, self.num_channels, flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift, scale=self.scale)
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_channels: int, time_embed_dim: int,
+                 act_fn: str = "silu", out_dim: int = None):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim)
+        self.act = get_activation(act_fn)
+        self.linear_2 = nn.Linear(time_embed_dim, out_dim or time_embed_dim)
+
+    def forward(self, sample, condition=None):
+        sample = self.linear_1(sample)
+        sample = self.act(sample)
+        sample = self.linear_2(sample)
+        return sample
+
+
+def get_1d_sincos_pos_embed_from_grid(embed_dim, pos):
+    if embed_dim % 2 != 0:
+        raise ValueError("embed_dim must be divisible by 2")
+    omega = np.arange(embed_dim // 2, dtype=np.float64)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000**omega
+    pos = pos.reshape(-1)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def get_2d_sincos_pos_embed_from_grid(embed_dim, grid):
+    if embed_dim % 2 != 0:
+        raise ValueError("embed_dim must be divisible by 2")
+    # grid[0] holds the meshgrid's first output ("w goes first" in diffusers)
+    emb_h = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[0])
+    emb_w = get_1d_sincos_pos_embed_from_grid(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1)
+
+
+def get_3d_sincos_pos_embed(embed_dim, spatial_size, temporal_size,
+                            spatial_interpolation_scale=1.0,
+                            temporal_interpolation_scale=1.0):
+    if embed_dim % 4 != 0:
+        raise ValueError("embed_dim must be divisible by 4")
+    if isinstance(spatial_size, int):
+        spatial_size = (spatial_size, spatial_size)
+    embed_dim_spatial = 3 * embed_dim // 4
+    embed_dim_temporal = embed_dim // 4
+
+    grid_h = np.arange(spatial_size[1], dtype=np.float32) / spatial_interpolation_scale
+    grid_w = np.arange(spatial_size[0], dtype=np.float32) / spatial_interpolation_scale
+    grid = np.meshgrid(grid_w, grid_h)  # here w goes first
+    grid = np.stack(grid, axis=0)
+    grid = grid.reshape([2, 1, spatial_size[1], spatial_size[0]])
+    pos_embed_spatial = get_2d_sincos_pos_embed_from_grid(embed_dim_spatial, grid)
+
+    grid_t = np.arange(temporal_size, dtype=np.float32) / temporal_interpolation_scale
+    pos_embed_temporal = get_1d_sincos_pos_embed_from_grid(embed_dim_temporal, grid_t)
+
+    pos_embed_spatial = pos_embed_spatial[np.newaxis, :, :]
+    pos_embed_spatial = np.repeat(pos_embed_spatial, temporal_size, axis=0)
+    pos_embed_temporal = pos_embed_temporal[:, np.newaxis, :]
+    pos_embed_temporal = np.repeat(
+        pos_embed_temporal, spatial_size[0] * spatial_size[1], axis=1)
+    return np.concatenate([pos_embed_temporal, pos_embed_spatial], axis=-1)
+
+
+def apply_rotary_emb(x, freqs_cis, use_real: bool = True,
+                     use_real_unbind_dim: int = -1):
+    """CogVideoX/flux-style rotary application on (B, H, S, D)."""
+    cos, sin = freqs_cis  # (S, D)
+    cos = cos[None, None].to(x.device)
+    sin = sin[None, None].to(x.device)
+    if use_real_unbind_dim == -1:
+        x_real, x_imag = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+        x_rotated = torch.stack([-x_imag, x_real], dim=-1).flatten(3)
+    elif use_real_unbind_dim == -2:
+        x_real, x_imag = x.reshape(*x.shape[:-1], 2, -1).unbind(-2)
+        x_rotated = torch.cat([-x_imag, x_real], dim=-1)
+    else:
+        raise ValueError(f"use_real_unbind_dim={use_real_unbind_dim}")
+    return (x.float() * cos + x_rotated.float() * sin).to(x.dtype)
+
+
+# ----------------------------------------------------------------------------
+# attention / attention_processor
+# ----------------------------------------------------------------------------
+
+
+class AttentionProcessor:  # typing marker in diffusers
+    pass
+
+
+class CogVideoXAttnProcessor2_0:
+    """Joint text+video attention: concat [text; video], qkv, per-head QK
+    layernorm, RoPE on the video slice, SDPA, out proj, split back."""
+
+    def __call__(self, attn, hidden_states, encoder_hidden_states,
+                 attention_mask=None, image_rotary_emb=None):
+        text_seq_length = encoder_hidden_states.size(1)
+        hidden_states = torch.cat([encoder_hidden_states, hidden_states], dim=1)
+        batch_size, sequence_length, _ = hidden_states.shape
+
+        query = attn.to_q(hidden_states)
+        key = attn.to_k(hidden_states)
+        value = attn.to_v(hidden_states)
+
+        inner_dim = key.shape[-1]
+        head_dim = inner_dim // attn.heads
+        query = query.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+        key = key.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+        value = value.view(batch_size, -1, attn.heads, head_dim).transpose(1, 2)
+
+        if attn.norm_q is not None:
+            query = attn.norm_q(query)
+        if attn.norm_k is not None:
+            key = attn.norm_k(key)
+
+        if image_rotary_emb is not None:
+            query[:, :, text_seq_length:] = apply_rotary_emb(
+                query[:, :, text_seq_length:], image_rotary_emb)
+            if not attn.is_cross_attention:
+                key[:, :, text_seq_length:] = apply_rotary_emb(
+                    key[:, :, text_seq_length:], image_rotary_emb)
+
+        hidden_states = F.scaled_dot_product_attention(
+            query, key, value, attn_mask=attention_mask, dropout_p=0.0,
+            is_causal=False)
+        hidden_states = hidden_states.transpose(1, 2).reshape(
+            batch_size, -1, attn.heads * head_dim)
+
+        hidden_states = attn.to_out[0](hidden_states)
+        hidden_states = attn.to_out[1](hidden_states)
+
+        encoder_hidden_states, hidden_states = hidden_states.split(
+            [text_seq_length, hidden_states.size(1) - text_seq_length], dim=1)
+        return hidden_states, encoder_hidden_states
+
+
+class FusedCogVideoXAttnProcessor2_0(CogVideoXAttnProcessor2_0):
+    """Imported by the reference for fuse_qkv_projections; never exercised."""
+
+    def __call__(self, *args, **kwargs):  # pragma: no cover
+        raise NotImplementedError("fused qkv path not shimmed")
+
+
+class Attention(nn.Module):
+    """Subset of diffusers Attention used by the reference (self-attention
+    with optional per-head QK layernorm, external processor)."""
+
+    def __init__(self, query_dim, cross_attention_dim=None, heads=8,
+                 dim_head=64, dropout=0.0, bias=False, qk_norm=None,
+                 eps=1e-5, out_bias=True, out_dim=None, processor=None):
+        super().__init__()
+        self.inner_dim = out_dim if out_dim is not None else dim_head * heads
+        self.query_dim = query_dim
+        self.cross_attention_dim = (
+            cross_attention_dim if cross_attention_dim is not None else query_dim)
+        self.heads = heads
+        self.is_cross_attention = cross_attention_dim is not None
+
+        if qk_norm is None:
+            self.norm_q = None
+            self.norm_k = None
+        elif qk_norm == "layer_norm":
+            self.norm_q = nn.LayerNorm(dim_head, eps=eps)
+            self.norm_k = nn.LayerNorm(dim_head, eps=eps)
+        else:
+            raise ValueError(f"qk_norm {qk_norm!r} not supported by the shim")
+
+        self.to_q = nn.Linear(query_dim, self.inner_dim, bias=bias)
+        self.to_k = nn.Linear(self.cross_attention_dim, self.inner_dim, bias=bias)
+        self.to_v = nn.Linear(self.cross_attention_dim, self.inner_dim, bias=bias)
+        self.to_out = nn.ModuleList([
+            nn.Linear(self.inner_dim, out_dim if out_dim is not None else query_dim,
+                      bias=out_bias),
+            nn.Dropout(dropout),
+        ])
+        self.processor = processor if processor is not None else CogVideoXAttnProcessor2_0()
+
+    def get_processor(self):
+        return self.processor
+
+    def set_processor(self, processor):
+        self.processor = processor
+
+    def forward(self, hidden_states, encoder_hidden_states=None,
+                attention_mask=None, **cross_attention_kwargs):
+        return self.processor(
+            self, hidden_states, encoder_hidden_states=encoder_hidden_states,
+            attention_mask=attention_mask, **cross_attention_kwargs)
+
+
+class FeedForward(nn.Module):
+    def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                 activation_fn="geglu", final_dropout=False, inner_dim=None,
+                 bias=True):
+        super().__init__()
+        inner_dim = inner_dim if inner_dim is not None else int(dim * mult)
+        dim_out = dim_out if dim_out is not None else dim
+        if activation_fn == "gelu":
+            act_fn = GELU(dim, inner_dim, bias=bias)
+        elif activation_fn == "gelu-approximate":
+            act_fn = GELU(dim, inner_dim, approximate="tanh", bias=bias)
+        else:
+            raise ValueError(f"activation_fn {activation_fn!r} not supported by the shim")
+        self.net = nn.ModuleList([act_fn, nn.Dropout(dropout),
+                                  nn.Linear(inner_dim, dim_out, bias=bias)])
+        if final_dropout:
+            self.net.append(nn.Dropout(dropout))
+
+    def forward(self, hidden_states):
+        for module in self.net:
+            hidden_states = module(hidden_states)
+        return hidden_states
+
+
+# ----------------------------------------------------------------------------
+# normalization
+# ----------------------------------------------------------------------------
+
+
+class AdaLayerNorm(nn.Module):
+    def __init__(self, embedding_dim, num_embeddings=None, output_dim=None,
+                 norm_elementwise_affine=False, norm_eps=1e-5, chunk_dim=0):
+        super().__init__()
+        self.chunk_dim = chunk_dim
+        output_dim = output_dim or embedding_dim * 2
+        if num_embeddings is not None:
+            self.emb = nn.Embedding(num_embeddings, embedding_dim)
+        else:
+            self.emb = None
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(embedding_dim, output_dim)
+        self.norm = nn.LayerNorm(output_dim // 2, norm_eps, norm_elementwise_affine)
+
+    def forward(self, x, timestep=None, temb=None):
+        if self.emb is not None:
+            temb = self.emb(timestep)
+        temb = self.linear(self.silu(temb))
+        if self.chunk_dim == 1:
+            # CogVideoX convention: (shift, scale), per-batch modulation
+            shift, scale = temb.chunk(2, dim=1)
+            shift = shift[:, None, :]
+            scale = scale[:, None, :]
+        else:
+            scale, shift = temb.chunk(2, dim=0)
+        return self.norm(x) * (1 + scale) + shift
+
+
+class CogVideoXLayerNormZero(nn.Module):
+    def __init__(self, conditioning_dim, embedding_dim,
+                 elementwise_affine=True, eps=1e-5, bias=True):
+        super().__init__()
+        self.silu = nn.SiLU()
+        self.linear = nn.Linear(conditioning_dim, 6 * embedding_dim, bias=bias)
+        self.norm = nn.LayerNorm(embedding_dim, eps=eps,
+                                 elementwise_affine=elementwise_affine)
+
+    def forward(self, hidden_states, encoder_hidden_states, temb):
+        shift, scale, gate, enc_shift, enc_scale, enc_gate = \
+            self.linear(self.silu(temb)).chunk(6, dim=1)
+        hidden_states = self.norm(hidden_states) * (1 + scale)[:, None, :] \
+            + shift[:, None, :]
+        encoder_hidden_states = self.norm(encoder_hidden_states) \
+            * (1 + enc_scale)[:, None, :] + enc_shift[:, None, :]
+        return (hidden_states, encoder_hidden_states,
+                gate[:, None, :], enc_gate[:, None, :])
+
+
+# ----------------------------------------------------------------------------
+# downsampling / upsampling (CogVideoX VAE)
+# ----------------------------------------------------------------------------
+
+
+class CogVideoXDownsample3D(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=2,
+                 padding=0, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels,
+                              kernel_size=kernel_size, stride=stride,
+                              padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, x):
+        if self.compress_time:
+            batch_size, channels, frames, height, width = x.shape
+            x = x.permute(0, 3, 4, 1, 2).reshape(
+                batch_size * height * width, channels, frames)
+            if x.shape[-1] % 2 == 1:
+                x_first, x_rest = x[..., 0], x[..., 1:]
+                if x_rest.shape[-1] > 0:
+                    x_rest = F.avg_pool1d(x_rest, kernel_size=2, stride=2)
+                x = torch.cat([x_first[..., None], x_rest], dim=-1)
+            else:
+                x = F.avg_pool1d(x, kernel_size=2, stride=2)
+            x = x.reshape(batch_size, height, width, channels,
+                          x.shape[-1]).permute(0, 3, 4, 1, 2)
+
+        # asymmetric (right/bottom) spatial pad, then strided 2D conv per frame
+        x = F.pad(x, (0, 1, 0, 1), mode="constant", value=0)
+        batch_size, channels, frames, height, width = x.shape
+        x = x.permute(0, 2, 1, 3, 4).reshape(
+            batch_size * frames, channels, height, width)
+        x = self.conv(x)
+        x = x.reshape(batch_size, frames, x.shape[1], x.shape[2],
+                      x.shape[3]).permute(0, 2, 1, 3, 4)
+        return x
+
+
+class CogVideoXUpsample3D(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                 padding=1, compress_time=False):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels,
+                              kernel_size=kernel_size, stride=stride,
+                              padding=padding)
+        self.compress_time = compress_time
+
+    def forward(self, inputs):
+        if self.compress_time:
+            if inputs.shape[2] > 1 and inputs.shape[2] % 2 == 1:
+                # split first frame: spatial-only upsample, rest t+h+w
+                x_first, x_rest = inputs[:, :, 0], inputs[:, :, 1:]
+                x_first = F.interpolate(x_first, scale_factor=2.0)
+                x_rest = F.interpolate(x_rest, scale_factor=2.0)
+                x_first = x_first[:, :, None, :, :]
+                inputs = torch.cat([x_first, x_rest], dim=2)
+            elif inputs.shape[2] > 1:
+                inputs = F.interpolate(inputs, scale_factor=2.0)
+            else:
+                inputs = inputs.squeeze(2)
+                inputs = F.interpolate(inputs, scale_factor=2.0)
+                inputs = inputs[:, :, None, :, :]
+        else:
+            b, c, t, h, w = inputs.shape
+            inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            inputs = F.interpolate(inputs, scale_factor=2.0)
+            inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(0, 2, 1, 3, 4)
+
+        b, c, t, h, w = inputs.shape
+        inputs = inputs.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        inputs = self.conv(inputs)
+        inputs = inputs.reshape(b, t, *inputs.shape[1:]).permute(0, 2, 1, 3, 4)
+        return inputs
+
+
+# ----------------------------------------------------------------------------
+# autoencoders.vae
+# ----------------------------------------------------------------------------
+
+
+class DiagonalGaussianDistribution:
+    def __init__(self, parameters: torch.Tensor, deterministic: bool = False):
+        self.parameters = parameters
+        self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+        self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        self.std = torch.exp(0.5 * self.logvar)
+        self.var = torch.exp(self.logvar)
+        if self.deterministic:
+            self.var = self.std = torch.zeros_like(self.mean)
+
+    def sample(self, generator=None) -> torch.Tensor:
+        noise = torch.randn(self.mean.shape, generator=generator,
+                            dtype=self.parameters.dtype,
+                            device=self.parameters.device)
+        return self.mean + self.std * noise
+
+    def mode(self) -> torch.Tensor:
+        return self.mean
+
+
+# ----------------------------------------------------------------------------
+# module registration
+# ----------------------------------------------------------------------------
+
+
+def _module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def install():
+    """Register the shim as ``diffusers`` in sys.modules (idempotent)."""
+    if "diffusers" in sys.modules:
+        existing = sys.modules["diffusers"]
+        if getattr(existing, "__trajcrafter_shim__", False):
+            return
+        raise RuntimeError("a real diffusers install is present; shim not needed")
+
+    mods = {
+        "diffusers": _module("diffusers", __trajcrafter_shim__=True),
+        "diffusers.configuration_utils": _module(
+            "diffusers.configuration_utils", ConfigMixin=ConfigMixin,
+            register_to_config=register_to_config),
+        "diffusers.utils": _module(
+            "diffusers.utils", is_torch_version=is_torch_version,
+            logging=_LoggingShim()),
+        "diffusers.utils.torch_utils": _module(
+            "diffusers.utils.torch_utils",
+            maybe_allow_in_graph=maybe_allow_in_graph),
+        "diffusers.utils.accelerate_utils": _module(
+            "diffusers.utils.accelerate_utils",
+            apply_forward_hook=apply_forward_hook),
+        "diffusers.loaders": _module("diffusers.loaders"),
+        "diffusers.loaders.single_file_model": _module(
+            "diffusers.loaders.single_file_model",
+            FromOriginalModelMixin=FromOriginalModelMixin),
+        "diffusers.models": _module("diffusers.models"),
+        "diffusers.models.attention": _module(
+            "diffusers.models.attention", Attention=Attention,
+            FeedForward=FeedForward),
+        "diffusers.models.attention_processor": _module(
+            "diffusers.models.attention_processor",
+            AttentionProcessor=AttentionProcessor,
+            CogVideoXAttnProcessor2_0=CogVideoXAttnProcessor2_0,
+            FusedCogVideoXAttnProcessor2_0=FusedCogVideoXAttnProcessor2_0),
+        "diffusers.models.embeddings": _module(
+            "diffusers.models.embeddings", TimestepEmbedding=TimestepEmbedding,
+            Timesteps=Timesteps, get_3d_sincos_pos_embed=get_3d_sincos_pos_embed,
+            apply_rotary_emb=apply_rotary_emb,
+            get_timestep_embedding=get_timestep_embedding),
+        "diffusers.models.modeling_outputs": _module(
+            "diffusers.models.modeling_outputs",
+            Transformer2DModelOutput=Transformer2DModelOutput,
+            AutoencoderKLOutput=AutoencoderKLOutput),
+        "diffusers.models.modeling_utils": _module(
+            "diffusers.models.modeling_utils", ModelMixin=ModelMixin),
+        "diffusers.models.normalization": _module(
+            "diffusers.models.normalization", AdaLayerNorm=AdaLayerNorm,
+            CogVideoXLayerNormZero=CogVideoXLayerNormZero),
+        "diffusers.models.activations": _module(
+            "diffusers.models.activations", get_activation=get_activation),
+        "diffusers.models.downsampling": _module(
+            "diffusers.models.downsampling",
+            CogVideoXDownsample3D=CogVideoXDownsample3D),
+        "diffusers.models.upsampling": _module(
+            "diffusers.models.upsampling",
+            CogVideoXUpsample3D=CogVideoXUpsample3D),
+        "diffusers.models.autoencoders": _module("diffusers.models.autoencoders"),
+        "diffusers.models.autoencoders.vae": _module(
+            "diffusers.models.autoencoders.vae", DecoderOutput=DecoderOutput,
+            DiagonalGaussianDistribution=DiagonalGaussianDistribution),
+    }
+    sys.modules.update(mods)
