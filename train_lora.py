@@ -32,6 +32,8 @@ def get_parser():
     p.add_argument("--lora_rank", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=8.0)
     p.add_argument("--cfg_dropout", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1,
+                   help="average gradients over N micro-batches per update")
     p.add_argument("--motion_sub_loss", action="store_true")
     p.add_argument("--checkpointing_steps", type=int, default=200)
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
@@ -114,7 +116,8 @@ def main(argv=None):
     sch_state = scheduler.set_timesteps(50)
     lora = init_lora_params(jax.random.PRNGKey(args.seed), params,
                             rank=args.lora_rank)
-    optimizer = make_optimizer(lr=args.learning_rate)
+    optimizer = make_optimizer(lr=args.learning_rate,
+                               grad_accum_steps=args.gradient_accumulation_steps)
     opt_state = optimizer.init(lora)
     state = TrainState(lora=lora, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32))

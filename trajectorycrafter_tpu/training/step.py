@@ -32,11 +32,19 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
-                   clip_norm: float = 1.0) -> optax.GradientTransformation:
-    return optax.chain(
+                   clip_norm: float = 1.0,
+                   grad_accum_steps: int = 1) -> optax.GradientTransformation:
+    """AdamW with clipping; ``grad_accum_steps`` > 1 averages gradients over
+    that many micro-steps before applying one update (the reference's
+    ``gradient_accumulation_steps`` knob, lora_utils_ours/config.py, applied
+    by accelerate in training_loop.py:261-271)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=weight_decay),
     )
+    if grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum_steps)
+    return opt
 
 
 def make_train_step(
@@ -65,8 +73,14 @@ def make_train_step(
         x0 = batch["gt_latents"].astype(jnp.float32)
         b = x0.shape[0]
 
-        timesteps = jax.random.randint(k_t, (b,), 0, num_train_timesteps)
-        noise = jax.random.normal(k_n, x0.shape, jnp.float32)
+        # timesteps/noise may be supplied in the batch (deterministic eval and
+        # the grad-accumulation equivalence test); sampled otherwise
+        timesteps = batch.get("timesteps")
+        if timesteps is None:
+            timesteps = jax.random.randint(k_t, (b,), 0, num_train_timesteps)
+        noise = batch.get("noise")
+        if noise is None:
+            noise = jax.random.normal(k_n, x0.shape, jnp.float32)
         noisy = scheduler.add_noise(sch_state, x0, noise, timesteps)
 
         # conditioning dropout (reference :162-194)
