@@ -113,8 +113,10 @@ def test_vda_spatial_parity_nondefault_grid(rng):
 
 
 def test_vda_temporal_blocks_shapes(rng):
-    """Temporal blocks keep shapes and make the output depend on other
-    frames (the point of the spatio-temporal head)."""
+    """Temporal modules keep shapes; at init they are exact identities
+    (official zero_initialize=True -> zero proj_out); once proj_out is
+    non-zero the output depends on other frames (the point of the
+    spatio-temporal head)."""
     cfg = _tiny_cfg(num_temporal_blocks=2)
     model = VideoDepthAnything(cfg)
     frames = jnp.asarray(rng.standard_normal((1, 3, 28, 42, 3), dtype=np.float32))
@@ -124,10 +126,23 @@ def test_vda_temporal_blocks_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
     assert (np.asarray(out) >= 0).all()  # relative head ends in relu
 
-    # perturb frame 2 only; frame 0's depth must change (temporal mixing)
+    # zero-initialised motion modules: temporally perturbing frame 2 must
+    # NOT leak into frame 0 at init
     frames2 = frames.at[:, 2].add(1.0)
     out2 = model.apply({"params": params}, frames2)
-    assert np.abs(np.asarray(out2[:, 0]) - np.asarray(out[:, 0])).max() > 1e-7
+    np.testing.assert_allclose(np.asarray(out2[:, 0]), np.asarray(out[:, 0]),
+                               atol=1e-6)
+
+    # un-zero proj_out -> frame 0's depth must now depend on frame 2
+    import flax
+
+    params = flax.core.unfreeze(params)
+    for i in range(2):
+        tm = params["head"][f"temporal_{i}"]["proj_out"]
+        tm["kernel"] = jnp.ones_like(tm["kernel"]) * 0.05
+    out3 = model.apply({"params": params}, frames)
+    out4 = model.apply({"params": params}, frames2)
+    assert np.abs(np.asarray(out4[:, 0]) - np.asarray(out3[:, 0])).max() > 1e-6
 
 
 def test_vda_preset_configs():

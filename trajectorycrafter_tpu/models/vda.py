@@ -12,13 +12,15 @@ TPU-native rebuild of that model family:
     torch ``Dinov2Backbone``;
   * DPT neck + relative-depth head (reassemble -> fusion -> 3-conv head) —
     parity-tested against transformers' ``DepthAnythingForDepthEstimation``;
-  * VDA's temporal extension: temporal self-attention blocks inserted into
-    the DPT fusion path so depth is estimated jointly over a clip
-    ("spatio-temporal head", Video Depth Anything, CVPR'25 §3.1).  The
-    temporal blocks are gated by ``num_temporal_blocks`` — at 0 the model IS
-    single-image Depth Anything and converts 1:1 from the HF checkpoints
-    (LiheYoung/depth-anything-*-hf); the temporal key mapping is pinned in
-    utils/convert.convert_vda.
+  * VDA's temporal extension: four AnimateDiff-style motion modules at the
+    official placements (two on the reassembled layer_3/layer_4 features,
+    two after the deepest fusion stages -- "spatio-temporal head", Video
+    Depth Anything, CVPR'25 §3.1).  Gated by ``num_temporal_blocks`` — at 0
+    the model IS single-image Depth Anything and converts 1:1 from the HF
+    checkpoints (LiheYoung/depth-anything-*-hf) via convert_vda; at 4 the
+    full tree loads from the official video_depth_anything_*.pth via
+    utils/convert.convert_vda_official (key manifest
+    expected_vda_official_keys).
 
 Everything is channel-last (NHWC / (B, T, H, W, C)); the encoder runs all
 frames as one (B*T) batch (MXU-friendly), temporal attention reshapes to
@@ -300,16 +302,24 @@ class FeatureFusionLayer(nn.Module):
                        param_dtype=self.param_dtype, name="projection")(x)
 
 
-class TemporalBlock(nn.Module):
-    """Temporal self-attention over the frame axis at fixed spatial sites.
+def sinusoidal_frame_encoding(t: int, c: int) -> jnp.ndarray:
+    """(t, c) interleaved sin/cos table: pe[:, 0::2]=sin, pe[:, 1::2]=cos --
+    the AnimateDiff ``PositionalEncoding`` buffer layout (registered in the
+    official checkpoint as ``pos_encoder.pe``; value-identical here, so the
+    converter drops the stored buffer)."""
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    div = jnp.exp(jnp.arange(0, c, 2, dtype=jnp.float32) * (-jnp.log(10000.0) / c))
+    pe = jnp.zeros((t, c), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: (c - 1) // 2 + 1]))
+    return pe
 
-    VDA's spatio-temporal head interleaves temporal layers with the DPT
-    fusion stages (Video Depth Anything, CVPR'25 §3.1); each block is a
-    pre-norm transformer block whose tokens are the T frames of one spatial
-    location: (B, T, h, w, C) -> (B*h*w, T, C) -> attention+FFN -> back.
-    Sinusoidal frame-position encoding is added to queries/keys via an
-    additive table (AnimateDiff-style temporal module).
-    """
+
+class TemporalAttention(nn.Module):
+    """Self-attention over the frame axis at fixed spatial sites
+    (AnimateDiff ``VersatileAttention`` in Temporal mode): tokens are the T
+    frames of one spatial location, sinusoidal frame encoding added to the
+    hidden states before q/k/v."""
 
     channels: int
     heads: int
@@ -317,47 +327,104 @@ class TemporalBlock(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, T, H, W, C)
-        b, t, h, w, c = x.shape
-        tok = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-
-        # sinusoidal time encoding (static table, no params)
-        pos = jnp.arange(t)[:, None]
-        dim = jnp.arange(c // 2)[None, :]
-        ang = pos / jnp.power(10000.0, 2.0 * dim / c)
-        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-        if pe.shape[-1] < c:
-            pe = jnp.pad(pe, ((0, 0), (0, c - pe.shape[-1])))
-
-        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                                    param_dtype=self.param_dtype, name=n)
+    def __call__(self, tok):  # (B*h*w, T, C)
+        t, c = tok.shape[1], tok.shape[2]
+        tok = tok + sinusoidal_frame_encoding(t, c).astype(tok.dtype)[None]
         hd = c // self.heads
-        s = ln("norm1")(tok.astype(jnp.float32)).astype(self.dtype)
-        s = s + pe.astype(self.dtype)[None]
-        dense = lambda n, f=c: nn.Dense(f, dtype=self.dtype,
-                                        param_dtype=self.param_dtype, name=n)
-        q = dense("to_q")(s).reshape(-1, t, self.heads, hd)
-        k = dense("to_k")(s).reshape(-1, t, self.heads, hd)
-        v = dense("to_v")(s).reshape(-1, t, self.heads, hd)
+        dense = lambda n, bias: nn.Dense(c, use_bias=bias, dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=n)
+        q = dense("to_q", False)(tok).reshape(-1, t, self.heads, hd)
+        k = dense("to_k", False)(tok).reshape(-1, t, self.heads, hd)
+        v = dense("to_v", False)(tok).reshape(-1, t, self.heads, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * hd**-0.5
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, t, c)
-        tok = tok + dense("to_out")(o)
+        return dense("to_out", True)(o)
 
-        s = ln("norm2")(tok.astype(jnp.float32)).astype(self.dtype)
-        ff = dense("ff_in", 4 * c)(s)
-        tok = tok + dense("ff_out")(jax.nn.gelu(ff, approximate=False))
 
-        return tok.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+class TemporalTransformerBlock(nn.Module):
+    """AnimateDiff ``TemporalTransformerBlock``: N pre-norm temporal
+    self-attention sublayers followed by a pre-norm GEGLU feed-forward."""
+
+    channels: int
+    heads: int = 8
+    num_attention_blocks: int = 2
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tok):  # (B*h*w, T, C)
+        c = self.channels
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                    param_dtype=self.param_dtype, name=n)
+        for k in range(self.num_attention_blocks):
+            s = ln(f"norms_{k}")(tok.astype(jnp.float32)).astype(self.dtype)
+            tok = tok + TemporalAttention(
+                c, self.heads, self.dtype, self.param_dtype,
+                name=f"attention_blocks_{k}")(s)
+        s = ln("ff_norm")(tok.astype(jnp.float32)).astype(self.dtype)
+        # GEGLU feed-forward (diffusers FeedForward activation_fn="geglu"):
+        # one projection to 2x inner, value * gelu(gate)
+        gg = nn.Dense(8 * c, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="ff_proj")(s)
+        val, gate = jnp.split(gg, 2, axis=-1)
+        ffo = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="ff_out")(val * jax.nn.gelu(gate, approximate=False))
+        return tok + ffo
+
+
+class TemporalModule(nn.Module):
+    """VDA spatio-temporal motion module (Video Depth Anything, CVPR'25
+    §3.1; AnimateDiff ``TemporalModule``/``TemporalTransformer3DModel`` --
+    the structure the official checkpoint serializes under
+    ``head.motion_modules.{i}.temporal_transformer``):
+
+      GroupNorm(32) -> proj_in -> 1x TemporalTransformerBlock ->
+      proj_out + residual.
+
+    proj_out is zero-initialised (module starts as identity), matching the
+    official ``zero_initialize=True``.
+    """
+
+    channels: int
+    heads: int = 8
+    num_attention_blocks: int = 2
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, C)
+        b, t, h, w, c = x.shape
+        residual = x
+        # official norm_num_groups=32; min() only engages at toy test scale
+        g = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-6, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm")(
+            x.reshape(b * t, h, w, c).astype(jnp.float32)).astype(self.dtype)
+        tok = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj_in")(g.reshape(b, t, h, w, c))
+        # temporal token streams: (B*h*w, T, C)
+        tok = tok.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        tok = TemporalTransformerBlock(
+            c, self.heads, self.num_attention_blocks, self.dtype,
+            self.param_dtype, name="blocks_0")(tok)
+        tok = nn.Dense(c, kernel_init=nn.initializers.zeros,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="proj_out")(tok)
+        out = tok.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+        return out + residual
 
 
 class DPTTemporalHead(nn.Module):
-    """Reassemble + fusion + depth head, with temporal blocks after each
-    fusion stage (when ``num_temporal_blocks > 0``).
+    """Reassemble + fusion + depth head with the official VDA motion-module
+    placement (dpt_temporal.py ``DPTHeadTemporal``): modules 0/1 on the
+    reassembled layer_3/layer_4 features (channels out_channels[2]/[3],
+    before the neck convs), modules 2/3 on the two deepest fusion outputs
+    (channels ``features``).  ``num_temporal_blocks`` gates how many of the
+    four run (0 = single-image Depth Anything).
 
     Operates on per-frame feature maps; the batch axis is (B, T) flattened
-    except inside the temporal blocks.
+    except inside the temporal modules.
     """
 
     cfg: VDAConfig
@@ -368,8 +435,16 @@ class DPTTemporalHead(nn.Module):
     def __call__(self, feats, bt_shape: Tuple[int, int], ph: int, pw: int):
         c = self.cfg
         b, t = bt_shape
+
+        def temporal(i, x):
+            vid = x.reshape(b, t, *x.shape[1:])
+            vid = TemporalModule(vid.shape[-1], c.temporal_heads,
+                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                 name=f"temporal_{i}")(vid)
+            return vid.reshape(b * t, *x.shape[1:])
+
         # 1. reassemble: (BT, 1+hw, C) -> (BT, h*f, w*f, out_channels[i])
-        maps = []
+        pre = []
         for i, (f, ch, factor) in enumerate(
                 zip(feats, c.out_channels, c.reassemble_factors)):
             m = f[:, 1:].reshape(-1, ph, pw, f.shape[-1])
@@ -387,13 +462,24 @@ class DPTTemporalHead(nn.Module):
                 m = nn.Conv(ch, (3, 3), strides=(s, s), padding=1,
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"reassemble_{i}_resize")(m)
-            m = nn.Conv(c.features, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, param_dtype=self.param_dtype,
-                        name=f"neck_conv_{i}")(m)
-            maps.append(m)
+            pre.append(m)
 
-        # 2. fusion, deepest first (DepthAnythingFeatureFusionStage), with a
-        # temporal block woven in after each fusion stage
+        # temporal modules 0/1 on layer_3/layer_4 (official forward applies
+        # them after reassemble, before the scratch.layerX_rn convs)
+        if c.num_temporal_blocks > 0:
+            pre[2] = temporal(0, pre[2])
+        if c.num_temporal_blocks > 1:
+            pre[3] = temporal(1, pre[3])
+
+        maps = [
+            nn.Conv(c.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"neck_conv_{i}")(m)
+            for i, m in enumerate(pre)
+        ]
+
+        # 2. fusion, deepest first (DepthAnythingFeatureFusionStage); motion
+        # modules 2/3 follow the first two fusion stages (path_4, path_3)
         rev = maps[::-1]
         fused = None
         for i, m in enumerate(rev):
@@ -401,12 +487,10 @@ class DPTTemporalHead(nn.Module):
             layer = FeatureFusionLayer(c.features, self.dtype,
                                        self.param_dtype, name=f"fusion_{i}")
             fused = layer(m, None, size) if fused is None else layer(fused, m, size)
-            if c.num_temporal_blocks > i:
-                vid = fused.reshape(b, t, *fused.shape[1:])
-                vid = TemporalBlock(c.features, c.temporal_heads,
-                                    self.dtype, self.param_dtype,
-                                    name=f"temporal_{i}")(vid)
-                fused = vid.reshape(b * t, *fused.shape[1:])
+            if i == 0 and c.num_temporal_blocks > 2:
+                fused = temporal(2, fused)
+            if i == 1 and c.num_temporal_blocks > 3:
+                fused = temporal(3, fused)
 
         # 3. head (DepthAnythingDepthEstimationHead, relative type)
         x = nn.Conv(c.features // 2, (3, 3), padding=1, dtype=self.dtype,

@@ -534,6 +534,171 @@ def convert_vda(sd: Mapping[str, Array], num_layers: int = 24,
     return {"backbone": bb, "head": head}
 
 
+def _temporal_module(sd: Mapping[str, Array], prefix: str,
+                     num_attention_blocks: int = 2) -> Dict[str, Any]:
+    """Official VDA motion module (AnimateDiff TemporalModule serialized at
+    ``head.motion_modules.{i}.temporal_transformer``) -> flax
+    ``models.vda.TemporalModule`` tree."""
+    tt = prefix + ".temporal_transformer"
+    blk = f"{tt}.transformer_blocks.0"
+    blocks_0: Dict[str, Any] = {
+        "ff_norm": _ln(sd, blk + ".ff_norm"),
+        "ff_proj": _lin(sd, blk + ".ff.net.0.proj"),
+        "ff_out": _lin(sd, blk + ".ff.net.2"),
+    }
+    for k in range(num_attention_blocks):
+        a = f"{blk}.attention_blocks.{k}"
+        blocks_0[f"norms_{k}"] = _ln(sd, f"{blk}.norms.{k}")
+        blocks_0[f"attention_blocks_{k}"] = {
+            "to_q": _lin(sd, a + ".to_q", bias=False),
+            "to_k": _lin(sd, a + ".to_k", bias=False),
+            "to_v": _lin(sd, a + ".to_v", bias=False),
+            "to_out": _lin(sd, a + ".to_out.0"),
+        }
+        # the sinusoidal pos_encoder.pe buffer is value-identical to our
+        # static sinusoidal_frame_encoding table -- consume and drop
+        if a + ".pos_encoder.pe" in sd:
+            np.asarray(sd[a + ".pos_encoder.pe"])
+    return {
+        "norm": _gn(sd, tt + ".norm"),
+        "proj_in": _lin(sd, tt + ".proj_in"),
+        "blocks_0": blocks_0,
+        "proj_out": _lin(sd, tt + ".proj_out"),
+    }
+
+
+def convert_vda_official(sd: Mapping[str, Array], num_layers: int = 24,
+                         reassemble_factors=(4.0, 2.0, 1.0, 0.5),
+                         num_temporal_blocks: int = 4) -> Dict[str, Any]:
+    """Official Video-Depth-Anything .pth state dict -> flax
+    ``models.vda.VideoDepthAnything`` param tree.
+
+    The official checkpoint (video_depth_anything_{vits,vitl}.pth, loaded
+    strict=True by the reference at main_alignment.py:108-112) uses the
+    torchhub DINOv2 naming for the backbone (``pretrained.blocks.{i}.attn.qkv``
+    fused projections, ``ls1.gamma`` LayerScale) and the MiDaS/DPT scratch
+    naming for the head (``head.scratch.refinenet{n}`` etc.), plus four
+    AnimateDiff motion modules at ``head.motion_modules.{i}`` -- all unlike
+    the HF transformers layout convert_vda handles.
+    """
+    hs = np.asarray(sd["pretrained.cls_token"]).shape[-1]
+    bb: Dict[str, Any] = {
+        "patch_embeddings": _conv2d(sd, "pretrained.patch_embed.proj"),
+        "cls_token": np.asarray(sd["pretrained.cls_token"]),
+        "position_embeddings": np.asarray(sd["pretrained.pos_embed"]),
+        "layernorm": _ln(sd, "pretrained.norm"),
+    }
+    if "pretrained.mask_token" in sd:
+        np.asarray(sd["pretrained.mask_token"])  # consume-and-drop
+    for i in range(num_layers):
+        p = f"pretrained.blocks.{i}"
+        qkv_w = np.asarray(sd[p + ".attn.qkv.weight"])  # (3C, C)
+        qkv_b = np.asarray(sd[p + ".attn.qkv.bias"])
+        bb[f"layer_{i}"] = {
+            "norm1": _ln(sd, p + ".norm1"),
+            "attention": {
+                "query": {"kernel": qkv_w[:hs].T, "bias": qkv_b[:hs]},
+                "key": {"kernel": qkv_w[hs : 2 * hs].T, "bias": qkv_b[hs : 2 * hs]},
+                "value": {"kernel": qkv_w[2 * hs :].T, "bias": qkv_b[2 * hs :]},
+                "out": _lin(sd, p + ".attn.proj"),
+            },
+            "layer_scale1": np.asarray(sd[p + ".ls1.gamma"]),
+            "norm2": _ln(sd, p + ".norm2"),
+            "mlp": {"fc1": _lin(sd, p + ".mlp.fc1"),
+                    "fc2": _lin(sd, p + ".mlp.fc2")},
+            "layer_scale2": np.asarray(sd[p + ".ls2.gamma"]),
+        }
+
+    head: Dict[str, Any] = {}
+    n_stages = len(reassemble_factors)
+    for i, factor in enumerate(reassemble_factors):
+        head[f"reassemble_{i}_projection"] = _conv2d(sd, f"head.projects.{i}")
+        if factor > 1:
+            head[f"reassemble_{i}_resize"] = _conv_transpose2d(
+                sd, f"head.resize_layers.{i}")
+        elif factor < 1:
+            head[f"reassemble_{i}_resize"] = _conv2d(sd, f"head.resize_layers.{i}")
+        head[f"neck_conv_{i}"] = _conv2d(sd, f"head.scratch.layer{i + 1}_rn")
+    for i in range(n_stages):
+        # fusion_{0} (deepest) is scratch.refinenet{n_stages}
+        p = f"head.scratch.refinenet{n_stages - i}"
+        fusion: Dict[str, Any] = {
+            "projection": _conv2d(sd, p + ".out_conv"),
+            "residual_layer2": {
+                "convolution1": _conv2d(sd, p + ".resConfUnit2.conv1"),
+                "convolution2": _conv2d(sd, p + ".resConfUnit2.conv2"),
+            },
+        }
+        if i > 0:
+            fusion["residual_layer1"] = {
+                "convolution1": _conv2d(sd, p + ".resConfUnit1.conv1"),
+                "convolution2": _conv2d(sd, p + ".resConfUnit1.conv2"),
+            }
+        else:
+            # deepest refinenet never receives a residual; params exist in
+            # the checkpoint but are unused (same as convert_vda)
+            for q in (".resConfUnit1.conv1", ".resConfUnit1.conv2"):
+                _conv2d(sd, p + q)
+        head[f"fusion_{i}"] = fusion
+    head["head_conv1"] = _conv2d(sd, "head.scratch.output_conv1")
+    head["head_conv2"] = _conv2d(sd, "head.scratch.output_conv2.0")
+    head["head_conv3"] = _conv2d(sd, "head.scratch.output_conv2.2")
+    for i in range(num_temporal_blocks):
+        head[f"temporal_{i}"] = _temporal_module(sd, f"head.motion_modules.{i}")
+    return {"backbone": bb, "head": head}
+
+
+def expected_vda_official_keys(num_layers: int = 24,
+                               reassemble_factors=(4.0, 2.0, 1.0, 0.5),
+                               num_temporal_blocks: int = 4,
+                               num_attention_blocks: int = 2) -> set:
+    """Expected key set of the official video_depth_anything_*.pth.
+
+    Derived from the public Video-Depth-Anything code structure:
+    video_depth.py (pretrained = torchhub DINOv2, head = DPTHeadTemporal),
+    dpt_temporal.py (4 motion modules over out_channels[2], out_channels[3],
+    features, features), motion_module.py (AnimateDiff TemporalModule with 1
+    transformer block of 2 temporal self-attentions, GEGLU FF, persistent
+    ``pos_encoder.pe`` buffer, zero-initialised proj_out).
+    """
+    keys: list = ["pretrained.cls_token", "pretrained.pos_embed",
+                  "pretrained.mask_token"]
+    keys += _wb("pretrained.patch_embed.proj")
+    keys += _wb("pretrained.norm")
+    for i in range(num_layers):
+        p = f"pretrained.blocks.{i}"
+        keys += _wb(p + ".norm1") + _wb(p + ".norm2")
+        keys += _wb(p + ".attn.qkv") + _wb(p + ".attn.proj")
+        keys += _wb(p + ".mlp.fc1") + _wb(p + ".mlp.fc2")
+        keys += [p + ".ls1.gamma", p + ".ls2.gamma"]
+    n = len(reassemble_factors)
+    for i, factor in enumerate(reassemble_factors):
+        keys += _wb(f"head.projects.{i}")
+        if factor != 1:
+            keys += _wb(f"head.resize_layers.{i}")
+        keys.append(f"head.scratch.layer{i + 1}_rn.weight")
+    for i in range(1, n + 1):
+        p = f"head.scratch.refinenet{i}"
+        keys += _wb(p + ".out_conv")
+        for r in ("resConfUnit1", "resConfUnit2"):
+            keys += _wb(f"{p}.{r}.conv1") + _wb(f"{p}.{r}.conv2")
+    keys += _wb("head.scratch.output_conv1")
+    keys += _wb("head.scratch.output_conv2.0") + _wb("head.scratch.output_conv2.2")
+    for i in range(num_temporal_blocks):
+        tt = f"head.motion_modules.{i}.temporal_transformer"
+        keys += _wb(tt + ".norm") + _wb(tt + ".proj_in") + _wb(tt + ".proj_out")
+        blk = f"{tt}.transformer_blocks.0"
+        for k in range(num_attention_blocks):
+            a = f"{blk}.attention_blocks.{k}"
+            keys += [a + ".to_q.weight", a + ".to_k.weight", a + ".to_v.weight",
+                     a + ".pos_encoder.pe"]
+            keys += _wb(a + ".to_out.0")
+            keys += _wb(f"{blk}.norms.{k}")
+        keys += _wb(blk + ".ff.net.0.proj") + _wb(blk + ".ff.net.2")
+        keys += _wb(blk + ".ff_norm")
+    return set(keys)
+
+
 def expected_vda_keys(num_layers: int = 24,
                       reassemble_factors=(4.0, 2.0, 1.0, 0.5)) -> set:
     """Expected checkpoint keys for HF single-image Depth Anything
@@ -777,13 +942,32 @@ def verify_state_dict(sd: Mapping[str, Array], expected: set, label: str,
 # ----------------------------------------------------------------------------
 
 
-_COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae", "vda")
+_COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae", "vda",
+               "vda_official")
 
 
 def _convert_component(component: str, src: str, num_layers: int = 42,
                        cross_attn_interval: int = 2):
     import json
     import os
+
+    if component == "vda_official":
+        # the official Video-Depth-Anything release ships a torch .pth
+        # (video_depth_anything_{vits,vitl}.pth), not safetensors
+        import torch
+
+        path = src
+        if os.path.isdir(src):
+            pths = [f for f in sorted(os.listdir(src)) if f.endswith(".pth")]
+            if not pths:
+                raise FileNotFoundError(f"no *.pth under {src}")
+            path = os.path.join(src, pths[0])
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in raw.items()}
+        num_layers = sum(1 for k in sd if k.endswith(".ls1.gamma"))
+        verify_state_dict(sd, expected_vda_official_keys(num_layers),
+                          "vda_official")
+        return convert_vda_official(sd, num_layers)
 
     sd = load_safetensors_dir(src)
     if not sd:
