@@ -34,7 +34,13 @@ BASELINE_STEP_S = (290.0 * 0.8 / 50.0) * 3.45  # ~16.0 s/step A100-equivalent
 
 
 def synth_params(model, example_args, key, dtype):
-    """Random params straight on device without compiling the forward."""
+    """Random params straight on device without compiling the forward.
+
+    Leaves keep their init dtype where it isn't the model compute dtype
+    (e.g. Int8Dense kernel_q int8 / scale f32), so the int8 bench builds its
+    quantized tree directly without ever materialising the bf16 twin
+    (6.1B params -> the pair would blow HBM).
+    """
     shapes = jax.eval_shape(
         lambda *a: model.init(jax.random.PRNGKey(0), *a), *example_args
     )["params"]
@@ -42,6 +48,11 @@ def synth_params(model, example_args, key, dtype):
     keys = jax.random.split(key, len(leaves))
 
     def make(k, s):
+        if s.dtype == jnp.int8:
+            return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(jnp.int8)
+        if s.dtype in (jnp.float32, jnp.float64) and dtype != jnp.float32:
+            # quantization scales and other fp32 side-cars
+            return jnp.full(s.shape, 2e-4, jnp.float32)
         return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
 
     return jax.tree_util.tree_unflatten(
@@ -162,6 +173,7 @@ def main():
         ref_f = 3  # 10 reference frames -> 3 latent frames
 
     dtype = jnp.bfloat16
+    use_int8 = "--int8" in sys.argv  # block attn/FF GEMMs on the int8 MXU
     model = CrossTransformer3DModel(
         num_attention_heads=heads,
         attention_head_dim=head_dim,
@@ -169,6 +181,7 @@ def main():
         max_text_seq_length=text_len,
         use_rotary_positional_embeddings=True,
         attention_impl="flash" if not small else "xla",
+        quant="int8" if use_int8 else "none",
         dtype=dtype,
         param_dtype=dtype,
     )

@@ -1,0 +1,105 @@
+"""int8 GEMM path (ops/int8.py + CrossTransformer3DModel quant="int8")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_int8_dense_matches_dense(rng):
+    import flax.linen as nn
+
+    from trajectorycrafter_tpu.ops.int8 import Int8Dense, quantize_dense_params
+
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    dense = nn.Dense(32)
+    p = dense.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(dense.apply({"params": p}, x))
+
+    qp = quantize_dense_params(p)
+    assert qp["kernel_q"].dtype == jnp.int8
+    got = np.asarray(Int8Dense(32).apply({"params": qp}, x))
+    # weight + activation int8: ~1% relative error budget
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.02
+    cos = float((got * want).sum() /
+                (np.linalg.norm(got) * np.linalg.norm(want)))
+    assert cos > 0.999
+
+
+def _tiny_kwargs():
+    c = 4
+    return dict(num_attention_heads=2, attention_head_dim=16,
+                in_channels=2 * c + 1, out_channels=c, time_embed_dim=16,
+                text_embed_dim=8, num_layers=2, max_text_seq_length=3,
+                cross_attn_dim_head=8, cross_attn_num_heads=2,
+                use_rotary_positional_embeddings=True, attention_impl="xla")
+
+
+@pytest.fixture(scope="module")
+def tiny_io():
+    rng = np.random.default_rng(0)
+    f, h, w, c = 2, 4, 4, 4
+    return (
+        jnp.asarray(rng.standard_normal((1, f, h, w, c)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 3, 8)), jnp.float32),
+        jnp.asarray([300.0]),
+        jnp.asarray(rng.standard_normal((1, f, h, w, c + 1)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, 1, h, w, c)), jnp.float32),
+    )
+
+
+def test_quantized_dit_matches_bf16_tree_and_forward(tiny_io):
+    """quantize_dit_params produces exactly the int8 model's param tree, and
+    the int8 forward tracks the fp32 forward closely (the flag the bench
+    measures: 13.6 -> 12.6 s/step at 49f@576x1024, docs/COVERAGE.md)."""
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+    hidden, text, t, inpaint, cross = tiny_io
+    m_ref = CrossTransformer3DModel(**_tiny_kwargs())
+    m_i8 = CrossTransformer3DModel(quant="int8", **_tiny_kwargs())
+    params = m_ref.init(jax.random.PRNGKey(0), hidden, text, t, inpaint,
+                        cross)["params"]
+    qparams = quantize_dit_params(params)
+
+    import jax.tree_util as jtu
+
+    want_tree = jax.eval_shape(
+        lambda: m_i8.init(jax.random.PRNGKey(0), hidden, text, t, inpaint,
+                          cross))["params"]
+    a = {jtu.keystr(p): (np.shape(l), l.dtype)
+         for p, l in jtu.tree_flatten_with_path(qparams)[0]}
+    b = {jtu.keystr(p): (np.shape(l), l.dtype)
+         for p, l in jtu.tree_flatten_with_path(want_tree)[0]}
+    assert a == b
+
+    want = np.asarray(m_ref.apply({"params": params}, hidden, text, t,
+                                  inpaint_latents=inpaint, cross_latents=cross))
+    got = np.asarray(m_i8.apply({"params": qparams}, hidden, text, t,
+                                inpaint_latents=inpaint, cross_latents=cross))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    cos = float((got * want).sum() /
+                (np.linalg.norm(got) * np.linalg.norm(want)))
+    assert rel < 0.05, rel
+    assert cos > 0.999, cos
+
+
+def test_quantize_targets_only_block_denses(tiny_io):
+    """Perceiver / patch / time / output layers stay bf16 (kernel key
+    preserved); only blocks_* attn/FF kernels become kernel_q."""
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+    hidden, text, t, inpaint, cross = tiny_io
+    model = CrossTransformer3DModel(**_tiny_kwargs())
+    params = model.init(jax.random.PRNGKey(0), hidden, text, t, inpaint,
+                        cross)["params"]
+    q = quantize_dit_params(params)
+    assert "kernel" in q["perceiver_cross_attention_0"]["to_q"]
+    assert "kernel" in q["proj_out"]
+    assert "kernel" in q["patch_embed_proj"]
+    assert "kernel_q" in q["blocks_0"]["attn1"]["to_q"]
+    assert "kernel_q" in q["blocks_1"]["ff"]["proj_out"]
+    # AdaLN modulation denses inside blocks stay bf16
+    assert "kernel" in q["blocks_0"]["norm1"]["linear"]

@@ -47,21 +47,31 @@ def _constrain(x, *axes):
     return jax.lax.with_sharding_constraint(x, P(*axes))
 
 
+def _dense_cls(quant: str):
+    if quant == "int8":
+        from trajectorycrafter_tpu.ops.int8 import Int8Dense
+
+        return Int8Dense
+    return nn.Dense
+
+
 class FeedForward(nn.Module):
     """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate')."""
 
     dim: int
     mult: int = 4
+    quant: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.mult, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="proj_in")(x)
+        dense = _dense_cls(self.quant)
+        h = dense(self.dim * self.mult, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="proj_in")(x)
         h = nn.gelu(h, approximate=True)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_out")(h)
+        return dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj_out")(h)
 
 
 class LayerNormZero(nn.Module):
@@ -94,6 +104,7 @@ class JointAttention(nn.Module):
     head_dim: int
     qk_norm: bool = True
     attention_impl: str = "auto"
+    quant: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -105,8 +116,8 @@ class JointAttention(nn.Module):
         inner = self.heads * self.head_dim
         # q/k/v as three Denses (separate checkpoint tensors) -- XLA fuses the
         # three GEMMs sharing the same input into one pass over x
-        dense = lambda name: nn.Dense(inner, dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
+        dense = lambda name: _dense_cls(self.quant)(
+            inner, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         q = dense("to_q")(x).reshape(b, s, self.heads, self.head_dim)
         k = dense("to_k")(x).reshape(b, s, self.heads, self.head_dim)
         v = dense("to_v")(x).reshape(b, s, self.heads, self.head_dim)
@@ -130,8 +141,9 @@ class JointAttention(nn.Module):
             k = jnp.concatenate([k[:, :text_len], k_img], axis=1)
 
         out = multi_head_attention(q, k, v, impl=self.attention_impl)
-        out = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="to_out")(out)
+        out = _dense_cls(self.quant)(inner, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="to_out")(out)
         return out[:, text_len:], out[:, :text_len]
 
 
@@ -140,6 +152,7 @@ class CogVideoXBlock(nn.Module):
     heads: int
     head_dim: int
     attention_impl: str = "auto"
+    quant: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -149,13 +162,15 @@ class CogVideoXBlock(nn.Module):
         h, e, gate, enc_gate = norm1(hidden, encoder, temb)
         attn_h, attn_e = JointAttention(
             self.heads, self.head_dim, attention_impl=self.attention_impl,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn1")(h, e, rope)
+            quant=self.quant, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attn1")(h, e, rope)
         hidden = hidden + gate * attn_h
         encoder = encoder + enc_gate * attn_e
 
         norm2 = LayerNormZero(self.dim, self.dtype, self.param_dtype, name="norm2")
         h, e, gate_ff, enc_gate_ff = norm2(hidden, encoder, temb)
-        ff_out = FeedForward(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        ff_out = FeedForward(self.dim, quant=self.quant, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
                              name="ff")(jnp.concatenate([e, h], axis=1))
         text_len = encoder.shape[1]
         hidden = hidden + gate_ff * ff_out[:, text_len:]
@@ -228,6 +243,7 @@ class CrossTransformer3DModel(nn.Module):
     cross_attn_dim_head: int = 128
     cross_attn_num_heads: int = 16
     attention_impl: str = "auto"
+    quant: str = "none"  # "int8": block attn/FF GEMMs on the int8 MXU path
     remat: bool = False
     shard_activations: bool = False  # dp x sp constraints on the token stream
     dtype: Any = jnp.float32
@@ -309,7 +325,8 @@ class CrossTransformer3DModel(nn.Module):
         for i in range(self.num_layers):
             hidden, encoder = block_cls(
                 dim, self.num_attention_heads, self.attention_head_dim,
-                attention_impl=self.attention_impl, dtype=self.dtype,
+                attention_impl=self.attention_impl, quant=self.quant,
+                dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"blocks_{i}",
             )(hidden, encoder, temb, image_rotary_emb)
             if cross_tokens is not None and i % self.cross_attn_interval == 0:

@@ -1,0 +1,96 @@
+"""int8 MXU GEMMs for the DiT's projection/FF layers (opt-in).
+
+v5e's MXU runs int8 x int8 -> int32 at up to 2x the bf16 rate.  Measured on
+this chip at the production FF shape (M=20k, 3072->12288->3072 chain,
+docs/COVERAGE.md round-3 notes): 1.39x for pure int8 chains, 1.24x
+end-to-end with dynamic per-token activation quantization -- XLA does not
+reach the nominal 2x.  Quality: per-GEMM mean relative error ~4% (cosine
+0.9999) vs bf16.
+
+Scheme: weights per-output-channel symmetric int8 (quantized once, host
+side); activations per-token symmetric int8 computed dynamically in the
+kernel's prologue; fp32 rescale + bias.  This replaces the reference's
+precision strategy (straight bf16 autocast, SURVEY.md section 1) only where
+the MXU is the bottleneck and only behind ``quant="int8"``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Int8Dense(nn.Module):
+    """Dense with int8 weights + dynamic per-token int8 activations.
+
+    Params: ``kernel_q`` (in, out) int8, ``scale`` (out,) float32 such that
+    ``kernel ~= kernel_q * scale``, optional ``bias``.  Produced from a
+    regular Dense's params by :func:`quantize_dense_params`.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (in_features, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * xs * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def quantize_dense_params(p: dict) -> dict:
+    """{"kernel", ["bias"]} -> {"kernel_q", "scale", ["bias"]} (per-output-
+    channel symmetric)."""
+    w = jnp.asarray(p["kernel"], jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    kernel_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": kernel_q, "scale": scale}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+# the DiT modules whose GEMMs are MXU-bound (block attention projections +
+# FF); Perceiver/patch/time layers are a small share of step FLOPs and stay bf16
+DIT_INT8_TARGETS = ("to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out")
+
+
+def quantize_dit_params(params: Any, targets=DIT_INT8_TARGETS) -> Any:
+    """Quantize a CrossTransformer3D param tree for ``quant="int8"``.
+
+    Only Dense kernels named in ``targets`` inside ``blocks_*`` modules are
+    converted (matches the model's module swap); everything else passes
+    through unchanged.
+    """
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if ("kernel" in tree and len(path) >= 2 and path[-1] in targets
+                    and path[0].startswith("blocks_")
+                    # the model-level proj_out stays bf16 (tiny)
+                    and jnp.ndim(tree["kernel"]) == 2):
+                return quantize_dense_params(tree)
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return tree
+
+    return walk(params, ())
