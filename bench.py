@@ -283,18 +283,26 @@ def main():
         # (VAE decode + condition encodes + 5 depth-UNet steps + warp +
         # host-I/O slack; replaces the earlier 80%-attribution guess).
         # Prefer the committed bench_stages.json so the aggregate tracks
-        # the latest stage measurements; 30.2 is the 2026-08-17 snapshot.
-        non_denoise_s = 30.2
+        # the latest stage measurements; the literals are the 2026-08-17
+        # snapshot.
+        non_denoise_s, non_denoise_576_s = 30.3, 39.0
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "bench_stages.json")) as f:
-                non_denoise_s = float(json.load(f)["non_denoise_s"])
+                stages = json.load(f)
+            non_denoise_s = float(stages["non_denoise_s"])
+            non_denoise_576_s = float(stages.get("non_denoise_576x1024_s",
+                                                 non_denoise_576_s))
         except Exception:
             pass
         result["est_sec_per_video_384x672"] = round(
             50.0 * step384_s + non_denoise_s, 1)
         result["vs_baseline_video"] = round(
             290.0 / (50.0 * step384_s + non_denoise_s), 3)
+        # headline-config end-to-end: this run's measured 576x1024 step +
+        # bench_stages' measured 576x1024 non-denoise legs
+        result["measured_sec_per_video_576x1024"] = round(
+            50.0 * step_s + non_denoise_576_s, 1)
     print(json.dumps(result))
 
 
