@@ -766,6 +766,84 @@ def load_safetensors_dir(path: str) -> Dict[str, Array]:
 
 
 # ----------------------------------------------------------------------------
+# BLIP-2 captioner (transformers Blip2ForConditionalGeneration,
+# Salesforce/blip2-opt-2.7b -> models/blip2.py names)
+# ----------------------------------------------------------------------------
+
+
+def convert_blip2(sd: Mapping[str, Array], vision_layers: int = 39,
+                  qformer_layers: int = 12, opt_layers: int = 32,
+                  cross_attention_frequency: int = 2) -> Dict[str, Any]:
+    """HF Blip2ForConditionalGeneration state dict -> flax
+    ``models.blip2.Blip2Captioner`` param tree (reference loads this family
+    at demo.py:36-39)."""
+    vm = "vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": _conv2d(sd, vm + "embeddings.patch_embedding"),
+        "class_embedding": np.asarray(sd[vm + "embeddings.class_embedding"]),
+        "position_embedding": np.asarray(sd[vm + "embeddings.position_embedding"]),
+        "post_layernorm": _ln(sd, vm + "post_layernorm"),
+    }
+    for i in range(vision_layers):
+        p = f"{vm}encoder.layers.{i}"
+        vision[f"layers_{i}_layer_norm1"] = _ln(sd, p + ".layer_norm1")
+        vision[f"layers_{i}_layer_norm2"] = _ln(sd, p + ".layer_norm2")
+        vision[f"layers_{i}_self_attn"] = {
+            "qkv": _lin(sd, p + ".self_attn.qkv"),
+            "projection": _lin(sd, p + ".self_attn.projection"),
+        }
+        vision[f"layers_{i}_fc1"] = _lin(sd, p + ".mlp.fc1")
+        vision[f"layers_{i}_fc2"] = _lin(sd, p + ".mlp.fc2")
+
+    def qf_attention(prefix):
+        return {
+            "query": _lin(sd, prefix + ".attention.query"),
+            "key": _lin(sd, prefix + ".attention.key"),
+            "value": _lin(sd, prefix + ".attention.value"),
+            "out": _lin(sd, prefix + ".output.dense"),
+            "output_norm": _ln(sd, prefix + ".output.LayerNorm"),
+        }
+
+    qf: Dict[str, Any] = {
+        "query_tokens": np.asarray(sd["query_tokens"]),
+        "layernorm": _ln(sd, "qformer.layernorm"),
+    }
+    for i in range(qformer_layers):
+        p = f"qformer.encoder.layer.{i}"
+        qf[f"layer_{i}_attention"] = qf_attention(p + ".attention")
+        if i % cross_attention_frequency == 0:
+            qf[f"layer_{i}_crossattention"] = qf_attention(p + ".crossattention")
+        qf[f"layer_{i}_intermediate_query"] = _lin(sd, p + ".intermediate_query.dense")
+        qf[f"layer_{i}_output_query"] = _lin(sd, p + ".output_query.dense")
+        qf[f"layer_{i}_output_query_norm"] = _ln(sd, p + ".output_query.LayerNorm")
+
+    lm = "language_model.model.decoder."
+    opt: Dict[str, Any] = {
+        "embed_positions": np.asarray(sd[lm + "embed_positions.weight"]),
+        "final_layer_norm": _ln(sd, lm + "final_layer_norm"),
+    }
+    for i in range(opt_layers):
+        p = f"{lm}layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            opt[f"layers_{i}_{proj}"] = _lin(sd, f"{p}.self_attn.{proj}")
+        opt[f"layers_{i}_self_attn_layer_norm"] = _ln(sd, p + ".self_attn_layer_norm")
+        opt[f"layers_{i}_final_layer_norm"] = _ln(sd, p + ".final_layer_norm")
+        opt[f"layers_{i}_fc1"] = _lin(sd, p + ".fc1")
+        opt[f"layers_{i}_fc2"] = _lin(sd, p + ".fc2")
+
+    if "language_model.lm_head.weight" in sd:
+        np.asarray(sd["language_model.lm_head.weight"])  # tied; consume-drop
+    query_tokens = qf.pop("query_tokens")
+    return {
+        "vision_model": vision,
+        "qformer": {"query_tokens": query_tokens, **qf},
+        "language_projection": _lin(sd, "language_projection"),
+        "language_model": opt,
+        "embed_tokens": {"embedding": np.asarray(sd[lm + "embed_tokens.weight"])},
+    }
+
+
+# ----------------------------------------------------------------------------
 # Checkpoint key contracts
 #
 # The exact state-dict key sets the published checkpoints use, derived by
@@ -943,7 +1021,7 @@ def verify_state_dict(sd: Mapping[str, Array], expected: set, label: str,
 
 
 _COMPONENTS = ("dit", "vae", "t5", "clip", "svd_unet", "svd_vae", "vda",
-               "vda_official")
+               "vda_official", "blip2")
 
 
 def _convert_component(component: str, src: str, num_layers: int = 42,
@@ -1007,6 +1085,14 @@ def _convert_component(component: str, src: str, num_layers: int = 42,
         factors = tuple(cfg.get("reassemble_factors", (4.0, 2.0, 1.0, 0.5)))
         verify_state_dict(sd, expected_vda_keys(num_layers, factors), "vda")
         return convert_vda(sd, num_layers, reassemble_factors=factors)
+    if component == "blip2":
+        return convert_blip2(
+            sd,
+            vision_layers=cfg.get("vision_config", {}).get("num_hidden_layers", 39),
+            qformer_layers=cfg.get("qformer_config", {}).get("num_hidden_layers", 12),
+            opt_layers=cfg.get("text_config", {}).get("num_hidden_layers", 32),
+            cross_attention_frequency=cfg.get("qformer_config", {}).get(
+                "cross_attention_frequency", 2))
     raise ValueError(f"unknown component {component!r}; pick from {_COMPONENTS}")
 
 
