@@ -85,6 +85,39 @@ def test_quantized_dit_matches_bf16_tree_and_forward(tiny_io):
     assert cos > 0.999, cos
 
 
+@pytest.mark.slow
+def test_orchestrator_end_to_end_with_int8(tmp_path):
+    """The product --quant int8 path: dev-stub pipeline runs gradual mode
+    with quantized block GEMMs and produces finite mp4 outputs."""
+    import os
+
+    from trajectorycrafter_tpu.config import TrajCrafterConfig
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+    from trajectorycrafter_tpu.utils.video import save_video
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "in.mp4")
+    save_video(rng.uniform(0, 1, (6, 48, 80, 3)).astype(np.float32), path, fps=5)
+
+    cfg = TrajCrafterConfig()
+    cfg.allow_dev_stubs = True
+    cfg.video_path = path
+    cfg.video_length = 9
+    cfg.warp_size = (48, 80)
+    cfg.diffusion.sample_size = (32, 48)
+    cfg.diffusion.num_inference_steps = 2
+    cfg.diffusion.prompt = "a scene"
+    cfg.diffusion.quant = "int8"
+    cfg.render.camera = "target"
+    cfg.render.target_pose = (10.0, -5.0, 0.1, 0.0, 0.0)
+    cfg.save_dir = str(tmp_path / "out")
+
+    gen = TrajCrafter(cfg).infer_gradual()
+    assert gen.shape == (9, 32, 48, 3)
+    assert np.all(np.isfinite(gen))
+    assert os.path.getsize(os.path.join(cfg.save_dir, "gen.mp4")) > 0
+
+
 def test_quantize_targets_only_block_denses(tiny_io):
     """Perceiver / patch / time / output layers stay bf16 (kernel key
     preserved); only blocks_* attn/FF kernels become kernel_q."""

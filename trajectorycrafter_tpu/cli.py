@@ -45,6 +45,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--low_gpu_memory_mode", type=bool, default=False,
                    help="accepted for reference-CLI compatibility (no-op on TPU)")
     p.add_argument("--model_name", type=str, default=d.diffusion.model_name)
+    p.add_argument("--quant", type=str, default=d.diffusion.quant,
+                   choices=("none", "int8"),
+                   help="int8: run block attn/FF GEMMs on the int8 MXU path "
+                        "(~8%% faster denoise; weights quantized at load)")
     p.add_argument("--sampler_name", type=str, default=d.diffusion.sampler_name,
                    choices=["Euler", "Euler A", "DPM++", "PNDM", "DDIM_Cog",
                             "DDIM_Origin"])
@@ -110,6 +114,7 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
 
     cfg.diffusion.model_name = args.model_name
     cfg.diffusion.sampler_name = args.sampler_name
+    cfg.diffusion.quant = args.quant
     cfg.diffusion.transformer_path = args.transformer_path
     cfg.diffusion.sample_size = tuple(args.sample_size)
     cfg.diffusion.guidance_scale = args.diffusion_guidance_scale

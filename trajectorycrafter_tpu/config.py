@@ -55,6 +55,7 @@ class DiffusionConfig:
     )
     blip_path: str = "checkpoints/blip2-opt-2.7b"
     noise_aug_strength: float = 0.0563
+    quant: str = "none"  # "int8": block attn/FF GEMMs on the int8 MXU path
     use_dynamic_cfg: bool = False
     torch_rng_compat: bool = False  # draw initial latents with torch's RNG
     ref_frames: int = 10  # reference frames fed to the Perceiver branch

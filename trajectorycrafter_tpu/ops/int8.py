@@ -60,10 +60,13 @@ class Int8Dense(nn.Module):
 
 def quantize_dense_params(p: dict) -> dict:
     """{"kernel", ["bias"]} -> {"kernel_q", "scale", ["bias"]} (per-output-
-    channel symmetric)."""
-    w = jnp.asarray(p["kernel"], jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
-    kernel_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    channel symmetric).  Host-side numpy: quantizing the 6.1B-param DiT on
+    device would need the bf16 and int8 trees resident together (>HBM)."""
+    import numpy as np
+
+    w = np.asarray(p["kernel"], np.float32)
+    scale = (np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0).astype(np.float32)
+    kernel_q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
     out = {"kernel_q": kernel_q, "scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
@@ -88,7 +91,7 @@ def quantize_dit_params(params: Any, targets=DIT_INT8_TARGETS) -> Any:
             if ("kernel" in tree and len(path) >= 2 and path[-1] in targets
                     and path[0].startswith("blocks_")
                     # the model-level proj_out stays bf16 (tiny)
-                    and jnp.ndim(tree["kernel"]) == 2):
+                    and len(jnp.shape(tree["kernel"])) == 2):
                 return quantize_dense_params(tree)
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
         return tree

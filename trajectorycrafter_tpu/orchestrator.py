@@ -100,7 +100,7 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
         jax.random.PRNGKey(seed), jnp.zeros((1, 5, 32, 48, 3))
     )["params"]
     text_dim, text_len = 64, 16
-    dit = CrossTransformer3DModel(
+    dit_kwargs = dict(
         num_attention_heads=4, attention_head_dim=16,
         in_channels=2 * lc + 1, out_channels=lc,
         time_embed_dim=32, text_embed_dim=text_dim, num_layers=4,
@@ -108,15 +108,24 @@ def build_dev_models(cfg: TrajCrafterConfig, seed: int = 0) -> ModelBundle:
         use_rotary_positional_embeddings=True, attention_impl="auto",
         dtype=jnp.float32,
     )
+    dit = CrossTransformer3DModel(quant=cfg.diffusion.quant, **dit_kwargs)
     h = cfg.diffusion.sample_size[0] // 8
     w = cfg.diffusion.sample_size[1] // 8
     f = (cfg.video_length - 1) // 4 + 1
-    dit_params = jax.jit(dit.init)(
-        jax.random.PRNGKey(seed + 1),
+    init_args = (
         jnp.zeros((1, f, h, w, lc)), jnp.zeros((1, text_len, text_dim)),
         jnp.zeros((1,)), jnp.zeros((1, f, h, w, lc + 1)),
         jnp.zeros((1, 3, h, w, lc)),
-    )["params"]
+    )
+    if cfg.diffusion.quant == "int8":
+        from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+        base = CrossTransformer3DModel(**dit_kwargs)
+        dit_params = quantize_dit_params(
+            jax.jit(base.init)(jax.random.PRNGKey(seed + 1), *init_args)["params"])
+    else:
+        dit_params = jax.jit(dit.init)(
+            jax.random.PRNGKey(seed + 1), *init_args)["params"]
     scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
     pipeline = maybe_shard_pipeline(cfg, TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,

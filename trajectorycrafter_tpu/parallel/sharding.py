@@ -26,11 +26,14 @@ _ROW_PARALLEL = ("to_out", "proj_out")
 
 def _spec_for_path(path: tuple, leaf) -> P:
     names = [getattr(p, "key", str(p)) for p in path]
+    parent = names[-2] if len(names) >= 2 else ""
+    # int8 per-output-channel scales follow their kernel's output sharding
+    if names[-1] == "scale" and leaf.ndim == 1:
+        return P("tp") if parent in _COL_PARALLEL else P()
     if leaf.ndim < 2:
         return P()
-    parent = names[-2] if len(names) >= 2 else ""
-    # Dense kernels are (in_features, out_features)
-    if names[-1] == "kernel":
+    # Dense kernels are (in_features, out_features); int8 kernel_q likewise
+    if names[-1] in ("kernel", "kernel_q"):
         if parent in _COL_PARALLEL:
             return P(None, "tp")
         if parent in _ROW_PARALLEL and "blocks" in "/".join(names):

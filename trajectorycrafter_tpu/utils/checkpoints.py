@@ -37,8 +37,14 @@ def _cast_tree(tree, dtype):
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
 
 
-def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
-    """Load the TrajectoryCrafter CrossTransformer3D checkpoint."""
+def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
+             **model_kwargs):
+    """Load the TrajectoryCrafter CrossTransformer3D checkpoint.
+
+    ``quant="int8"``: the block attention/FF kernels are quantized host-side
+    to per-output-channel int8 (ops/int8.py) and the model runs those GEMMs
+    on the int8 MXU path (--quant int8; measured 13.6 -> 12.6 s/step at
+    49f@576x1024, docs/COVERAGE.md)."""
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
     from trajectorycrafter_tpu.utils.convert import convert_dit, load_safetensors_dir
 
@@ -56,7 +62,8 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
             hf.get("use_rotary_positional_embeddings", True),
         )
         kwargs.setdefault("cross_attn_interval", hf.get("cross_attn_interval", 2))
-    model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype, **kwargs)
+    model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype,
+                                    quant=quant, **kwargs)
     sd = load_safetensors_dir(transformer_path)
     from trajectorycrafter_tpu.utils.convert import (
         expected_dit_keys,
@@ -78,6 +85,26 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, **model_kwargs):
     params["patch_embed_proj"]["kernel"] = adapt_patch_embed_in_channels(
         params["patch_embed_proj"]["kernel"], model.in_channels
     )
+    if quant == "int8":
+        # quantize on the host BEFORE device placement (the bf16 + int8
+        # twins of a 6.1B tree would exceed HBM together); kernel_q stays
+        # int8 and the quantization scales stay fp32, everything else casts
+        from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+        params = quantize_dit_params(params)
+
+        def place(tree):
+            if isinstance(tree, dict):
+                if "kernel_q" in tree:  # quantized Dense: keep int8 + f32 scale
+                    out = {"kernel_q": jnp.asarray(tree["kernel_q"]),
+                           "scale": jnp.asarray(tree["scale"])}
+                    if "bias" in tree:
+                        out["bias"] = jnp.asarray(tree["bias"], dtype)
+                    return out
+                return {k: place(v) for k, v in tree.items()}
+            return jnp.asarray(tree, dtype)
+
+        return model, place(params)
     return model, _cast_tree(params, dtype)
 
 
@@ -125,7 +152,8 @@ def load_full_bundle(cfg) -> "ModelBundle":
 
     dtype = jnp.bfloat16
     vae, vae_params = load_vae(os.path.join(cfg.diffusion.model_name, "vae"), dtype)
-    dit, dit_params = load_dit(cfg.diffusion.transformer_path, dtype)
+    dit, dit_params = load_dit(cfg.diffusion.transformer_path, dtype,
+                               quant=cfg.diffusion.quant)
     scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
     pipeline = maybe_shard_pipeline(cfg, TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,
