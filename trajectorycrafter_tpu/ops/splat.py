@@ -2,9 +2,11 @@
 
 TPU-native re-expression of the reference's CPU splatting loop
 (/root/reference/models/utils.py:220-583): the per-frame Python loop with
-``index_put_(accumulate=True)`` becomes a single jit program of
-four fused scatter-adds over a padded (h+2)x(w+2) accumulation grid, vmapped
-over all frames at once.  Everything is static-shaped fp32.
+``index_put_(accumulate=True)`` becomes a single jit program with ONE
+scatter-add over a padded accumulation grid -- the four bilinear corners
+and the value/weight channels all fused into one wide payload row per
+source pixel -- vmapped over all frames at once.  Everything is
+static-shaped fp32.
 
 Algorithm (bit-matching the reference maths):
   1. unproject pixel grid with K1^-1 * depth, transform by T2 @ T1^-1,
@@ -68,11 +70,12 @@ def transform_points(
 
 
 def _splat_weights(trans_pos: jnp.ndarray, h: int, w: int):
-    """Bilinear corner indices + proximity weights on the padded grid.
+    """Floor-corner indices + per-slot proximity weights on the padded grid.
 
     Mirrors the reference exactly, including ceil (not floor+1) so that
     integer landing positions contribute through all four corners
-    (models/utils.py:452-488).
+    (models/utils.py:452-488).  Returns (fyi, fxi, (w00, w01, w10, w11))
+    where slot (dy, dx) contributes to target cell (fyi+dy, fxi+dx).
     """
     pos = trans_pos + 1.0  # shift into padded grid
     floor = jnp.floor(pos)
@@ -84,20 +87,30 @@ def _splat_weights(trans_pos: jnp.ndarray, h: int, w: int):
     cx = jnp.clip(ceil[..., 0], 0.0, w + 1.0)
     cy = jnp.clip(ceil[..., 1], 0.0, h + 1.0)
 
-    prox_nw = (1.0 - (pos_y - fy)) * (1.0 - (pos_x - fx))
-    prox_sw = (1.0 - (cy - pos_y)) * (1.0 - (pos_x - fx))
-    prox_ne = (1.0 - (pos_y - fy)) * (1.0 - (cx - pos_x))
-    prox_se = (1.0 - (cy - pos_y)) * (1.0 - (cx - pos_x))
+    px_f = 1.0 - (pos_x - fx)
+    px_c = 1.0 - (cx - pos_x)
+    py_f = 1.0 - (pos_y - fy)
+    py_c = 1.0 - (cy - pos_y)
 
     fxi, fyi = fx.astype(jnp.int32), fy.astype(jnp.int32)
     cxi, cyi = cx.astype(jnp.int32), cy.astype(jnp.int32)
-    corners = (
-        (fyi, fxi, prox_nw),
-        (cyi, fxi, prox_sw),
-        (fyi, cxi, prox_ne),
-        (cyi, cxi, prox_se),
-    )
-    return corners
+
+    # The four corner scatters are fused into ONE scatter row per source
+    # pixel (scatter cost on TPU is per-row-bound -- measured ~11M rows/s
+    # regardless of payload width, docs/COVERAGE.md).  The ceil corner is
+    # almost always floor+1; when it degenerates (integer landing position,
+    # or both ends clipped to the same border cell) its proximity weight
+    # folds into the floor slot.  The separable prox weights make the fold
+    # exact: sum over corners of py_*px_* factors as (py_f+py_c)(px_f+px_c).
+    deg_x = cxi == fxi
+    deg_y = cyi == fyi
+    px0 = px_f + jnp.where(deg_x, px_c, 0.0)
+    px1 = jnp.where(deg_x, 0.0, px_c)
+    py0 = py_f + jnp.where(deg_y, py_c, 0.0)
+    py1 = jnp.where(deg_y, 0.0, py_c)
+    # slot weights: (row offset, col offset) in {0,1}^2 relative to (fy, fx)
+    slots = (py0 * px0, py0 * px1, py1 * px0, py1 * px1)
+    return fyi, fxi, slots
 
 
 def bilinear_splat(
@@ -120,24 +133,32 @@ def bilinear_splat(
         flow_mask = jnp.ones((h, w), values.dtype)
 
     trans_pos = flow + pixel_grid(h, w, values.dtype)
-    corners = _splat_weights(trans_pos, h, w)
+    fyi, fxi, slots = _splat_weights(trans_pos, h, w)
 
     sat_depth = jnp.clip(depth, 0.0, _DEPTH_SAT)
     log_depth = jnp.log1p(sat_depth)
     depth_weights = jnp.exp(log_depth / jnp.max(log_depth) * _ZWEIGHT_SCALE)
     base_w = mask * flow_mask / depth_weights  # (h, w)
 
-    # Fuse value and weight channels into one scatter payload: (h*w, c+1).
+    # Fuse value and weight channels into one scatter payload: (h*w, c+1),
+    # then fuse the four bilinear corners into ONE row of 4*(c+1) channels.
+    # Slot k of row (fy, fx) is the contribution to target cell
+    # (fy + k//2, fx + k%2); neighbours are recombined by shifted slices
+    # after the scatter.  One scatter row per source pixel instead of four.
     payload = jnp.concatenate([values, jnp.ones((h, w, 1), values.dtype)], -1)
-    payload = payload.reshape(h * w, c + 1)
+    payload = payload.reshape(h * w, 1, c + 1)
+    sw = jnp.stack([s * base_w for s in slots], axis=-1).reshape(h * w, 4, 1)
 
-    acc = jnp.zeros(((h + 2) * (w + 2), c + 1), values.dtype)
-    for yi, xi, prox in corners:
-        widx = (prox * base_w).reshape(h * w, 1)
-        flat = (yi * (w + 2) + xi).reshape(h * w)
-        acc = acc.at[flat].add(payload * widx)
+    # padded grid (h+3, w+3): fyi/fxi reach h+1/w+1 and slots add one more
+    acc = jnp.zeros(((h + 3) * (w + 3), 4 * (c + 1)), values.dtype)
+    flat = (fyi * (w + 3) + fxi).reshape(h * w)
+    acc = acc.at[flat].add((payload * sw).reshape(h * w, 4 * (c + 1)))
 
-    acc = acc.reshape(h + 2, w + 2, c + 1)[1:-1, 1:-1]
+    acc = acc.reshape(h + 3, w + 3, 4, c + 1)
+    # recombine: out[y, x] = slot0[y, x] + slot1[y, x-1] + slot2[y-1, x]
+    #            + slot3[y-1, x-1], cropped to the unpadded interior
+    acc = (acc[1:h + 1, 1:w + 1, 0] + acc[1:h + 1, 0:w, 1]
+           + acc[0:h, 1:w + 1, 2] + acc[0:h, 0:w, 3])
     warped, weights = acc[..., :c], acc[..., c:]
 
     known = weights > 0
