@@ -265,6 +265,42 @@ def main():
         lat384.block_until_ready()
         step384_s = (time.time() - t0) / iters
 
+    # --- opt-in int8 GEMM variant, reported alongside the bf16 headline ----
+    # (quant="int8" stays off by default in inference -- output-quality
+    # parity needs real checkpoints, docs/COVERAGE.md -- but the measured
+    # speedup belongs in the driver artifact).  The bf16 tree (12.2 GB)
+    # must be freed before the int8 tree is synthesised: both together
+    # exceed the 16 GB HBM.
+    int8_step_s = None
+    if not small and not use_int8 and "--no_int8" not in sys.argv:
+        del params
+        getattr(denoise_step, "clear_cache", lambda: None)()
+        model8 = model.clone(quant="int8")
+        params8 = synth_params(model8, (hidden, text, tvec, inpaint, cross),
+                               jax.random.PRNGKey(0), dtype)
+
+        @jax.jit
+        def denoise_step8(params, latents, text2, inpaint2, cross2, i):
+            lat_in = jnp.concatenate([latents] * 2, axis=0)
+            tb = jnp.broadcast_to(state.timesteps[i], (b,)).astype(jnp.float32)
+            pred = model8.apply(
+                {"params": params}, lat_in.astype(dtype), text2, tb,
+                inpaint_latents=inpaint2, cross_latents=cross2,
+                image_rotary_emb=rope,
+            ).astype(jnp.float32)
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            return scheduler.step(state, uncond + guidance * (cond - uncond), i, latents)
+
+        lat8 = jax.random.normal(jax.random.PRNGKey(3), (1, f, h, w, 16), jnp.float32)
+        lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, 0)
+        lat8.block_until_ready()
+        t0 = time.time()
+        for i in range(1, iters + 1):
+            lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, i)
+        lat8.block_until_ready()
+        int8_step_s = (time.time() - t0) / iters
+        print(f"# int8 step: {int8_step_s:.3f}s", file=sys.stderr)
+
     frames_per_s = 49.0 / (step_s * 50.0)
     result = {
         "metric": "denoise_step_latency",
@@ -275,6 +311,9 @@ def main():
         "params_b": round(nparams / 1e9, 3),
         "compile_s": round(compile_s, 1),
     }
+    if int8_step_s is not None:
+        result["int8_step_s"] = round(int8_step_s, 4)
+        result["vs_baseline_int8"] = round(BASELINE_STEP_S / int8_step_s, 3)
     if step384_s is not None:
         result["denoise_step_384x672_s"] = round(step384_s, 4)
         # A100 anchor at this resolution: 290 s * 0.8 / 50 = 4.64 s/step
@@ -285,7 +324,7 @@ def main():
         # Prefer the committed bench_stages.json so the aggregate tracks
         # the latest stage measurements; the literals are the 2026-08-17
         # snapshot.
-        non_denoise_s, non_denoise_576_s = 30.3, 39.0
+        non_denoise_s, non_denoise_576_s = 23.6, 32.8
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "bench_stages.json")) as f:

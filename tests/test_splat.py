@@ -77,6 +77,56 @@ def test_bilinear_splat_matches_golden(rng, is_image):
     np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "case",
+    ["integer", "half_integer", "far_oob", "border_exact", "mixed_axis"],
+)
+def test_bilinear_splat_degenerate_landings(rng, case):
+    """Edge cases of the fused one-row-per-pixel scatter (ops/splat.py:98-113).
+
+    The fold puts the ceil-corner weight into the floor slot whenever
+    ceil==floor after clipping -- exercised by exact-integer landing
+    positions, landings clipped to the same border cell from far outside,
+    and landings exactly on the padded-grid border.  Each must bit-match
+    the scalar 4-corner golden loop.
+    """
+    h, w, c = 9, 11, 3
+    values = rng.uniform(-1, 1, (h, w, c)).astype(np.float32)
+    mask = np.ones((h, w), np.float32)
+    depth = rng.uniform(0.5, 8.0, (h, w)).astype(np.float32)
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+
+    if case == "integer":
+        # every landing is an exact integer cell: deg_x and deg_y everywhere
+        tx = rng.integers(-2, w + 2, (h, w)).astype(np.float32)
+        ty = rng.integers(-2, h + 2, (h, w)).astype(np.float32)
+    elif case == "half_integer":
+        # one axis integer, the other exactly between cells
+        tx = rng.integers(0, w, (h, w)).astype(np.float32)
+        ty = rng.integers(0, h - 1, (h, w)) + 0.5
+    elif case == "far_oob":
+        # far outside: pos clips to the same border cell on both corners
+        tx = np.where(gx < w // 2, -50.0, w + 50.0).astype(np.float32)
+        ty = np.where(gy < h // 2, -50.0, h + 50.0).astype(np.float32)
+    elif case == "border_exact":
+        # exactly on the clip boundaries of the padded grid (-1 and w/h + 1,
+        # i.e. padded coords 0 and w+2 pre-clip)
+        tx = np.where(gx % 2 == 0, -1.0, float(w + 1)).astype(np.float32)
+        ty = np.where(gy % 2 == 0, -1.0, float(h + 1)).astype(np.float32)
+    else:  # mixed_axis: degenerate in x only / y only on alternating pixels
+        tx = np.where(gx % 2 == 0, gx, gx + 0.25).astype(np.float32)
+        ty = np.where(gy % 2 == 1, gy, gy + 0.75).astype(np.float32)
+
+    flow = np.stack([tx - gx, ty - gy], axis=-1).astype(np.float32)
+    got_v, got_m = bilinear_splat(
+        jnp.asarray(values), jnp.asarray(mask), jnp.asarray(depth),
+        jnp.asarray(flow), None, is_image=False,
+    )
+    want_v, want_m = golden_splat(values, mask, depth, flow, False)
+    np.testing.assert_allclose(np.asarray(got_m), want_m, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), want_v, rtol=2e-4, atol=2e-4)
+
+
 def test_transform_points_identity(rng):
     """Identity transform must reproject every pixel onto itself."""
     h, w = 6, 8
