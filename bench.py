@@ -342,6 +342,15 @@ def main():
         # bench_stages' measured 576x1024 non-denoise legs
         result["measured_sec_per_video_576x1024"] = round(
             50.0 * step_s + non_denoise_576_s, 1)
+        # single ORCHESTRATED end-to-end run (bench_e2e.py: full-scale
+        # synthetic weights, stage offload, all five mp4 outputs)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_e2e.json")) as f:
+                result["e2e_sec_per_video_384x672_orchestrated"] = float(
+                    json.load(f)["value"])
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

@@ -1,0 +1,218 @@
+"""Full-scale END-TO-END orchestrator benchmark on one chip.
+
+Runs the real ``TrajCrafter.infer_gradual`` path -- video read, depth
+estimation (SVD UNet, windowed), forward-splat warp, T5 prompt encode,
+50-step CFG denoise (42-block DiT), VAE decode, all five mp4 writes -- at
+the production 384x672 diffusion / 576x1024 warp configuration, with
+PRODUCTION-SHAPE synthetic weights (zero egress: the HF zoo is
+unreachable, but every model is built at its real scale so compute and
+memory are identical to a real-weight run).
+
+This is the number ``bench.py`` composes from per-stage measurements
+(bench_stages.json); here it is measured as ONE orchestrated run,
+exercising stage offload (utils/offload.py) under real HBM pressure: the
+bundle is ~25 GB of bf16 params on a 16 GB chip and only fits because each
+model is device-placed for its stage and released after.
+
+Synthetic weights regenerate ON DEVICE per stage (StageParams materialize
+closures) -- pushing 25 GB host->device through the axon relay would
+swamp the timing; on real hardware the host push is PCIe-fast and the
+production path (StageParams host trees) is used instead.
+
+Writes bench_e2e.json; bench.py reports it as
+``e2e_sec_per_video_384x672_orchestrated`` when present.
+
+Caption stage: fixed --prompt (the reference CLI equally accepts
+--prompt and skips BLIP-2, demo.py:526-536); noted in the JSON.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bench import synth_params
+
+
+def staged_synth(model, example_args, dtype, name, seed):
+    """StageParams that synthesises production-shape params on device."""
+    from trajectorycrafter_tpu.utils.offload import StageParams
+
+    return StageParams(
+        materialize=lambda: synth_params(
+            model, example_args, jax.random.PRNGKey(seed), dtype),
+        offload=True, name=name,
+    )
+
+
+def build_full_scale_bundle(cfg, dtype=jnp.bfloat16):
+    """ModelBundle with every model at its deployed scale, synthetic
+    weights, stage offload ON (mirrors utils/checkpoints.load_full_bundle)."""
+    from trajectorycrafter_tpu.models.clip import (
+        CLIPVisionModelWithProjection,
+        clip_vit_h14_config,
+    )
+    from trajectorycrafter_tpu.models.depthcrafter import (
+        UNetSpatioTemporalConditionModel,
+    )
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+    from trajectorycrafter_tpu.models.t5 import T5EncoderModel, t5_xxl_config
+    from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
+    from trajectorycrafter_tpu.orchestrator import ModelBundle
+    from trajectorycrafter_tpu.pipelines.depth import (
+        DepthCrafterDemo,
+        DepthCrafterPipeline,
+    )
+    from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
+    from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
+    from trajectorycrafter_tpu.utils.offload import release, resolve
+
+    # --- diffusion stack (bench.py main's deployed shapes) -----------------
+    vae = AutoencoderKLCogVideoX(dtype=dtype, param_dtype=dtype)
+    vae_sp = staged_synth(vae, (jnp.zeros((1, 1, 8, 8, 3), dtype),),
+                          dtype, "vae", 0)
+    dit = CrossTransformer3DModel(
+        num_attention_heads=48, attention_head_dim=64, num_layers=42,
+        max_text_seq_length=226, use_rotary_positional_embeddings=True,
+        attention_impl="flash", dtype=dtype, param_dtype=dtype,
+    )
+    dit_args = (
+        jnp.zeros((1, 2, 16, 24, 16), dtype), jnp.zeros((1, 226, 4096), dtype),
+        jnp.zeros((1,)), jnp.zeros((1, 2, 16, 24, 17), dtype),
+        jnp.zeros((1, 1, 16, 24, 16), dtype),
+    )
+    dit_sp = staged_synth(dit, dit_args, dtype, "dit", 1)
+    scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
+    pipeline = TrajCrafterPipeline(
+        vae=vae, vae_params=vae_sp, transformer=dit, transformer_params=dit_sp,
+        scheduler=scheduler, dtype=dtype,
+    )
+
+    # --- T5-XXL prompt encoder (4.7B) --------------------------------------
+    t5 = T5EncoderModel(t5_xxl_config(), dtype=dtype, param_dtype=dtype)
+    t5_sp = staged_synth(t5, (jnp.zeros((1, 226), jnp.int32),), dtype, "t5", 2)
+
+    def encode_prompt(prompt, negative):
+        def ids_of(text):
+            # synthetic-tokenizer stand-in: deterministic ids from the text
+            h = abs(hash(text)) % 30000
+            return jnp.full((1, 226), 1 + h % 1000, jnp.int32)
+
+        p = resolve(t5_sp)
+        pe = t5.apply({"params": p}, ids_of(prompt or ""))
+        ne = t5.apply({"params": p}, ids_of(negative or ""))
+        ne.block_until_ready()
+        release(t5_sp)
+        return pe.astype(jnp.float32), ne.astype(jnp.float32)
+
+    # --- DepthCrafter stack (SVD UNet + SVD VAE + CLIP-H) ------------------
+    unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype)
+    zl = jnp.zeros((1, 2, 16, 16, 8), dtype)
+    unet_args = (zl, jnp.zeros((1,), jnp.float32),
+                 jnp.zeros((1, 2, 1, 1024), dtype), jnp.zeros((1, 3), jnp.float32))
+    unet_sp = staged_synth(unet, unet_args, dtype, "svd_unet", 3)
+    svd_vae = AutoencoderKLTemporalDecoder(dtype=dtype, param_dtype=dtype)
+    svd_vae_sp = staged_synth(
+        svd_vae, (jnp.zeros((1, 1, 32, 32, 3), dtype),), dtype, "svd_vae", 4)
+    clip_cfg = clip_vit_h14_config()
+    clip = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype, param_dtype=dtype)
+    clip_sp = staged_synth(
+        clip, (jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3),
+                         dtype),), dtype, "clip", 5)
+    depth_pipe = DepthCrafterPipeline(
+        unet=unet, unet_params=unet_sp, vae=svd_vae, vae_params=svd_vae_sp,
+        image_encoder=clip, image_encoder_params=clip_sp, dtype=dtype,
+    )
+
+    return ModelBundle(
+        pipeline=pipeline,
+        depth_infer=DepthCrafterDemo(depth_pipe).infer,
+        encode_prompt=encode_prompt,
+        get_caption=lambda frame: cfg.diffusion.prompt or "a scene",
+    )
+
+
+def synth_input_video(path: str, f=49, h=576, w=1024, fps=10):
+    """Deterministic moving-gradient clip (no reference assets needed)."""
+    from trajectorycrafter_tpu.utils.video import save_video
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames = np.stack([
+        np.stack([
+            0.5 + 0.5 * np.sin(xx / 97.0 + 0.21 * t),
+            0.5 + 0.5 * np.cos(yy / 61.0 - 0.13 * t),
+            0.5 + 0.5 * np.sin((xx + yy) / 151.0 + 0.08 * t),
+        ], axis=-1)
+        for t in range(f)
+    ])
+    save_video(frames, path, fps=fps)
+    return path
+
+
+def main():
+    from trajectorycrafter_tpu.config import TrajCrafterConfig
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
+
+    cfg = TrajCrafterConfig()
+    cfg.video_path = synth_input_video("/tmp/bench_e2e_input.mp4")
+    cfg.save_dir = "/tmp/bench_e2e_out"
+    cfg.diffusion.prompt = "a slowly drifting abstract gradient scene"
+    cfg.render.camera = "target"
+    cfg.render.target_pose = (0.0, 8.0, 0.12, 0.0, 0.0)
+    cfg.render.mode = "gradual"
+    cfg.offload = "stage"
+    if small:
+        # CI-sized smoke: dev-scale models, few steps (the full-scale run
+        # needs the real chip)
+        cfg.allow_dev_stubs = True
+        cfg.video_length = 9
+        cfg.warp_size = (64, 96)
+        cfg.diffusion.sample_size = (32, 48)
+        cfg.diffusion.num_inference_steps = 2
+        cfg.depth.num_inference_steps = 2
+        crafter = TrajCrafter(cfg)
+    else:
+        crafter = TrajCrafter(cfg, models=build_full_scale_bundle(cfg))
+
+    t0 = time.time()
+    crafter.infer_gradual()
+    cold_s = time.time() - t0
+    print(f"# cold run (incl. all compiles): {cold_s:.1f}s", file=sys.stderr)
+
+    # warm run: compiles cached; still pays the per-video stage offload
+    # reloads (here: on-device re-synthesis standing in for the host push)
+    t0 = time.time()
+    crafter.infer_gradual()
+    e2e_s = time.time() - t0
+
+    result = {
+        "metric": "e2e_sec_per_video",
+        "unit": ("s (SMALL dev shapes -- not production)" if small else
+                 "s (49f, diffusion 384x672, warp/depth 576x1024, full-scale "
+                 "synthetic weights, stage offload, 1 chip)"),
+        "value": round(e2e_s, 1),
+        "vs_baseline": 0.0 if small else round(290.0 / e2e_s, 3),
+        "caption_stage": "fixed_prompt",
+        "offload": cfg.offload,
+        "cold_first_video_s": round(cold_s, 1),
+    }
+    if not small:
+        result["e2e_sec_per_video_384x672_orchestrated"] = round(e2e_s, 1)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_e2e.json"), "w") as f:
+            json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

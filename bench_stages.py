@@ -106,9 +106,11 @@ def main():
         print("# measuring vae_decode 576x1024...", file=sys.stderr, flush=True)
         # full-frame decode at 49f@576x1024 needs >16 GB HBM (measured OOM:
         # ten 1.28 GB up_blocks_3 activations live at once) -- use the
-        # spatially tiled decode, the same scheme the reference ships for
-        # large frames (autoencoder_magvit.py:1302-1392 tiled_decode)
-        dec576 = lambda p, z: vae_decode_tiled(vae, p, z)
+        # auto-tiled decode the production pipeline uses (full-width strips,
+        # reference tiled_decode analog, autoencoder_magvit.py:1302-1392)
+        from trajectorycrafter_tpu.models.vae import vae_decode_auto
+
+        dec576 = lambda p, z: vae_decode_auto(vae, p, z)
         jax.block_until_ready(dec576(vparams, lat576))  # warm tile compiles
         t0 = time.time()
         jax.block_until_ready(dec576(vparams, lat576))

@@ -22,8 +22,7 @@ from trajectorycrafter_tpu.schedulers import (
 LC = 4  # tiny latent channels
 
 
-@pytest.fixture(scope="module")
-def tiny_pipeline():
+def build_tiny_pipeline():
     vae = AutoencoderKLCogVideoX(
         latent_channels=LC, block_out_channels=(8, 16, 16, 32),
         layers_per_block=1, norm_num_groups=4,
@@ -53,6 +52,11 @@ def tiny_pipeline():
         vae=vae, vae_params=vae_params, transformer=dit, transformer_params=hp,
         scheduler=sch, dtype=jnp.float32,
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return build_tiny_pipeline()
 
 
 def _inputs(rng):

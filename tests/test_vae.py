@@ -118,3 +118,24 @@ def test_tiled_decode_close_to_full(tiny_vae, rng):
     # correlation is the meaningful random-weight invariant.
     corr = np.corrcoef(tiled.reshape(-1), full.reshape(-1))[0, 1]
     assert corr > 0.2, corr
+
+
+def test_decode_auto_strips(tiny_vae, rng, monkeypatch):
+    """vae_decode_auto: small frames one-shot; large frames full-width
+    strips with vertical blending only, same output shape."""
+    import trajectorycrafter_tpu.models.vae as vae_mod
+
+    model, params = tiny_vae
+    z = jnp.asarray(rng.standard_normal((1, 2, 8, 12, 4)).astype(np.float32)) * 0.5
+    full = np.asarray(vae_decode(model, params, z))
+    # below threshold -> identical to one-shot decode
+    np.testing.assert_array_equal(
+        np.asarray(vae_mod.vae_decode_auto(model, params, z)), full)
+    # force the tiled path (threshold below this frame's 8*12 cells) with
+    # 4-row strips -> 3 strips with real vertical blending
+    monkeypatch.setattr(vae_mod, "_FULL_DECODE_MAX_CELLS", 50)
+    strips = np.asarray(vae_mod.vae_decode_auto(model, params, z, strip_height=4))
+    assert strips.shape == full.shape
+    assert np.all(np.isfinite(strips))
+    corr = np.corrcoef(strips.reshape(-1), full.reshape(-1))[0, 1]
+    assert corr > 0.2, corr

@@ -71,8 +71,11 @@ def get_parser() -> argparse.ArgumentParser:
     # depth (reference inference.py:134-170)
     p.add_argument("--unet_path", type=str, default=d.depth.unet_path)
     p.add_argument("--pre_train_path", type=str, default=d.depth.pre_train_path)
-    p.add_argument("--cpu_offload", type=str, default="model",
-                   help="accepted for reference-CLI compatibility (no-op on TPU)")
+    p.add_argument("--cpu_offload", type=str, default=None,
+                   help="reference-CLI compatibility alias (reference default "
+                        "'model'): 'model'/'sequential' map to the TPU-native "
+                        "stage offload (--offload stage); use --offload "
+                        "directly")
     p.add_argument("--depth_inference_steps", type=int,
                    default=d.depth.num_inference_steps)
     p.add_argument("--depth_guidance_scale", type=float,
@@ -86,6 +89,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_sp", type=int, default=1)
     p.add_argument("--mesh_tp", type=int, default=1)
 
+    p.add_argument("--offload", choices=["auto", "stage", "none"],
+                   default=TrajCrafterConfig().offload,
+                   help="stage-wise host offload of model params: 'stage' "
+                        "places each model on device only for its pipeline "
+                        "stage (needed for real weights on a 16 GB chip), "
+                        "'auto' decides from device memory, 'none' keeps "
+                        "everything resident")
     p.add_argument("--allow_dev_stubs", action="store_true", default=False,
                    help="run with randomly-initialised models / stub depth / "
                         "pseudo text embeddings when checkpoints are missing "
@@ -137,6 +147,11 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
     cfg.parallel.sp = args.mesh_sp
     cfg.parallel.tp = args.mesh_tp
     cfg.allow_dev_stubs = args.allow_dev_stubs
+    cfg.offload = args.offload
+    # reference-CLI alias: a passed --cpu_offload (default None = not passed)
+    # maps onto stage offload unless --offload was set away from its default
+    if args.cpu_offload in ("model", "sequential") and cfg.offload == "auto":
+        cfg.offload = "stage"
 
     exp = args.exp_name
     if exp is None:

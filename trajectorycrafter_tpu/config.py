@@ -109,6 +109,12 @@ class TrajCrafterConfig:
     # default so a production run against an incomplete model dir fails with
     # an actionable error instead of quietly producing garbage.
     allow_dev_stubs: bool = False
+    # stage-wise host offload of model params ("auto" | "stage" | "none"):
+    # a real-weight bundle (~35 GB bf16) cannot co-reside in one v5e chip's
+    # 16 GB HBM; "auto" offloads only when the loaded bundle exceeds ~80%
+    # of device memory (utils/offload.py -- the reference's accelerate
+    # CPU-offload hooks, models/infer.py:34-43, re-expressed for TPU)
+    offload: str = "auto"
 
     render: RenderConfig = field(default_factory=RenderConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)

@@ -532,6 +532,33 @@ def vae_decode_tiled(
     return jnp.concatenate(result_rows, axis=2)[:, :, : h * 8, : w * 8]
 
 
+# Largest latent frame the non-tiled decoder can hold on a 16 GB chip:
+# 48x84 (384x672 px) fits; 72x128 (576x1024) needs >16 GB of up-block
+# activations (measured OOM, bench_stages.py).  Above this, decode in
+# full-width strips: no horizontal seams, and only ~1.11x redundant rows
+# (vs 1.38x for the reference-default 30x45 tile grid at 72x128).
+_FULL_DECODE_MAX_CELLS = 5000
+
+
+def vae_decode_auto(
+    model: AutoencoderKLCogVideoX,
+    params,
+    latents: jnp.ndarray,  # (B, T_lat, H/8, W/8, C)
+    strip_height: int = 28,
+) -> jnp.ndarray:
+    """Decode, switching to spatially tiled strips when the frame is too
+    large for the one-shot decoder (the reference enables VAE tiling the
+    same way for large frames, demo.py:668-671 / autoencoder_magvit.py:1302)."""
+    h, w = latents.shape[2], latents.shape[3]
+    if h * w <= _FULL_DECODE_MAX_CELLS:
+        return vae_decode(model, params, latents)
+    return vae_decode_tiled(
+        model, params, latents,
+        tile_latent_height=strip_height, tile_latent_width=w,
+        overlap_factor_h=1.0 / 7.0, overlap_factor_w=0.0,
+    )
+
+
 def sample_posterior(moments: jnp.ndarray, key, latent_channels: int = 16):
     """DiagonalGaussian sample from concatenated (mean, logvar) moments."""
     mean = moments[..., :latent_channels]

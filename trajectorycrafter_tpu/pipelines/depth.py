@@ -72,11 +72,16 @@ class DepthCrafterPipeline:
         """frames (F, H, W, 3) in [0,1] -> per-frame CLIP embeds (F, 1, D)."""
         if self.image_encoder is None:
             return jnp.zeros((frames.shape[0], 1, self.unet.cross_attention_dim))
+        from trajectorycrafter_tpu.utils.offload import release, resolve
+
         size = self.image_encoder.cfg.image_size
         x = resize_linear(jnp.moveaxis(frames, -1, 1), (size, size))
         x = jnp.moveaxis(x, 1, -1)
         x = (x - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
-        emb = self.image_encoder.apply({"params": self.image_encoder_params}, x)
+        emb = self.image_encoder.apply(
+            {"params": resolve(self.image_encoder_params)}, x)
+        emb.block_until_ready()
+        release(self.image_encoder_params)
         return emb[:, None, :]
 
     # ------------------------------------------------------------------
@@ -97,10 +102,13 @@ class DepthCrafterPipeline:
         window_size = min(window_size, f)
         stride = max(window_size - overlap, 1)
 
+        from trajectorycrafter_tpu.utils.offload import release, resolve
+
         ctx = self.encode_image_embeddings(frames).astype(self.dtype)
         # per-frame conditioning latents (SVD convention: un-scaled mode)
         moments = self.vae.apply(
-            {"params": self.vae_params}, (frames * 2.0 - 1.0)[None].astype(self.dtype),
+            {"params": resolve(self.vae_params)},
+            (frames * 2.0 - 1.0)[None].astype(self.dtype),
             method=AutoencoderKLTemporalDecoder.encode,
         )[0]
         cond_latents = moments[..., : self.vae.latent_channels].astype(jnp.float32)
@@ -139,18 +147,22 @@ class DepthCrafterPipeline:
                 reno = anchor + noise[:ov] * state.init_noise_sigma
                 init = jnp.concatenate([reno, init[ov:]], axis=0)
             win_lat = _denoise_window_jit(
-                self.unet, self.unet_params, self.scheduler, state,
+                self.unet, resolve(self.unet_params), self.scheduler, state,
                 init, win_cond, win_ctx, added, num_inference_steps,
                 float(guidance_scale), self.dtype,
             )
             latents_all = chain_blend(latents_all, win_lat, s, ov)
             prev_start = s
+        # stage offload: drop the UNet before the (activation-heavy) decode
+        latents_all.block_until_ready()
+        release(self.unet_params)
         dec = self.vae.apply(
-            {"params": self.vae_params},
+            {"params": resolve(self.vae_params)},
             (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
             method=AutoencoderKLTemporalDecoder.decode,
         )[0].astype(jnp.float32)
         dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
+        release(self.vae_params)
         return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
 
 

@@ -34,6 +34,7 @@ from trajectorycrafter_tpu.models.vae import (
     posterior_mode,
     sample_posterior,
     vae_decode,
+    vae_decode_auto,
     vae_encode,
 )
 from trajectorycrafter_tpu.ops.resize import resize_linear, resize_mask_latent
@@ -70,19 +71,19 @@ class TrajCrafterPipeline:
         scale-out path.
         """
         from trajectorycrafter_tpu.parallel import dit_param_sharding
+        from trajectorycrafter_tpu.utils.offload import resolve
 
         sp = mesh.shape.get("sp", 1)
         transformer = self.transformer.clone(
             shard_activations=True,
             attention_impl="ring" if sp > 1 else self.transformer.attention_impl,
         )
-        t_params = jax.device_put(
-            self.transformer_params, dit_param_sharding(self.transformer_params, mesh)
-        )
+        # sharded runs keep params resident (offload is a single-small-chip
+        # concern); resolve any StageParams before placement
+        tp0, vp0 = resolve(self.transformer_params), resolve(self.vae_params)
+        t_params = jax.device_put(tp0, dit_param_sharding(tp0, mesh))
         repl = NamedSharding(mesh, PartitionSpec())
-        vae_params = jax.device_put(
-            self.vae_params, jax.tree.map(lambda _: repl, self.vae_params)
-        )
+        vae_params = jax.device_put(vp0, jax.tree.map(lambda _: repl, vp0))
         return dataclasses.replace(
             self, transformer=transformer, transformer_params=t_params,
             vae_params=vae_params, mesh=mesh,
@@ -110,9 +111,11 @@ class TrajCrafterPipeline:
         noise_aug_strength: float = 0.0563,
     ):
         """-> (inpaint_latents (B,F',h,w,17), ref_latents (B,Fr',h,w,16))."""
+        from trajectorycrafter_tpu.utils.offload import resolve
+
         return _prepare_conditions_jit(
-            self.vae, self.vae_params, video, mask_video, reference, key,
-            noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
+            self.vae, resolve(self.vae_params), video, mask_video, reference,
+            key, noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
             self.vae.scaling_factor, self.dtype,
         )
 
@@ -178,17 +181,26 @@ class TrajCrafterPipeline:
         inpaint_in = self._put_cfg_batch(inpaint_in.astype(self.dtype))
         ref_in = self._put_cfg_batch(ref_in.astype(self.dtype))
 
+        from trajectorycrafter_tpu.utils.offload import release, resolve
+
         with self._mesh_ctx():
             latents = _denoise_loop_jit(
-                self.transformer, self.transformer_params, self.scheduler, state,
+                self.transformer, resolve(self.transformer_params),
+                self.scheduler, state,
                 latents, text, inpaint_in, ref_in, rope, num_inference_steps,
                 float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
             )
+            # stage offload: drop the 12.2 GB DiT device copy before decode
+            # so the decoder's up-block activations fit beside it
+            latents.block_until_ready()
+            release(self.transformer_params)
 
             if output_type == "latent":
                 return latents
-            frames = _decode_jit(self.vae, self.vae_params, latents,
+            frames = _decode_jit(self.vae, resolve(self.vae_params), latents,
                                  self.vae.scaling_factor)
+            frames.block_until_ready()
+            release(self.vae_params)
         return frames
 
 
@@ -301,8 +313,10 @@ def _denoise_loop_jit(
     return latents
 
 
-@partial(jax.jit, static_argnames=("vae",))
 def _decode_jit(vae, vae_params, latents, scaling_factor):
+    """Not itself jitted: ``vae_decode_auto`` may dispatch several jitted
+    strip decodes when the frame is too large for one-shot decode (576x1024
+    full-frame needs >16 GB of up-block activations)."""
     z = latents.astype(jnp.float32) / scaling_factor
-    frames = vae_decode(vae, vae_params, z.astype(vae.dtype)).astype(jnp.float32)
+    frames = vae_decode_auto(vae, vae_params, z.astype(vae.dtype)).astype(jnp.float32)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)

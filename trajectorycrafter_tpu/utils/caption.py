@@ -21,7 +21,7 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def _native_captioner(blip_path: str) -> Optional[Callable]:
+def _native_captioner(blip_path: str, offload: bool = False) -> Optional[Callable]:
     import glob
 
     if not glob.glob(os.path.join(blip_path, "*.safetensors")):
@@ -63,12 +63,19 @@ def _native_captioner(blip_path: str) -> Optional[Callable]:
     del sd
     model = Blip2Captioner(cfg, dtype=jnp.bfloat16)
     tokenizer = GPT2BPETokenizer.from_dir(blip_path)
+    # captioning runs once per video before everything else; in offload mode
+    # the ~8 GB stack is device-placed just for that call (utils/offload.py)
+    from trajectorycrafter_tpu.utils.offload import StageParams
+
+    staged = StageParams(params, offload=offload, name="blip2")
 
     def caption(frame: np.ndarray) -> str:
-        ids = generate_caption_ids(model, params,
-                                   preprocess_frame(frame, cfg.image_size),
-                                   max_new_tokens=max_new, eos_token_id=eos)
-        return tokenizer.decode(np.asarray(ids[0])).strip()
+        with staged as p:
+            ids = generate_caption_ids(model, p,
+                                       preprocess_frame(frame, cfg.image_size),
+                                       max_new_tokens=max_new, eos_token_id=eos)
+            ids = np.asarray(ids[0])
+        return tokenizer.decode(ids).strip()
 
     return caption
 
@@ -94,11 +101,12 @@ def _transformers_captioner(blip_path: str) -> Callable:
     return caption
 
 
-def build_captioner(blip_path: str, fallback_prompt: Optional[str] = None) -> Callable:
+def build_captioner(blip_path: str, fallback_prompt: Optional[str] = None,
+                    offload: bool = False) -> Callable:
     """-> caption(frame_hw3_float01) -> str."""
     if os.path.isdir(blip_path):
         try:
-            native = _native_captioner(blip_path)
+            native = _native_captioner(blip_path, offload=offload)
             if native is not None:
                 return native
         except Exception as e:

@@ -33,12 +33,19 @@ def restore_params(path: str) -> Any:
     return ckptr.restore(os.path.abspath(path))
 
 
-def _cast_tree(tree, dtype):
+def _cast_tree(tree, dtype, host: bool = False):
+    """Cast to ``dtype``; ``host=True`` keeps the tree in host RAM (numpy)
+    for stage-offloaded loading (utils/offload.py) instead of placing it
+    on device immediately."""
+    if host:
+        from trajectorycrafter_tpu.utils.offload import host_cast
+
+        return host_cast(tree, dtype)
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
 
 
 def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
-             **model_kwargs):
+             host: bool = False, **model_kwargs):
     """Load the TrajectoryCrafter CrossTransformer3D checkpoint.
 
     ``quant="int8"``: the block attention/FF kernels are quantized host-side
@@ -92,6 +99,8 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
         from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
 
         params = quantize_dit_params(params)
+        if host:
+            return model, _cast_tree(params, dtype, host=True)
 
         def place(tree):
             if isinstance(tree, dict):
@@ -105,10 +114,10 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
             return jnp.asarray(tree, dtype)
 
         return model, place(params)
-    return model, _cast_tree(params, dtype)
+    return model, _cast_tree(params, dtype, host=host)
 
 
-def load_vae(vae_path: str, dtype=jnp.bfloat16):
+def load_vae(vae_path: str, dtype=jnp.bfloat16, host: bool = False):
     from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
     from trajectorycrafter_tpu.utils.convert import convert_vae, load_safetensors_dir
 
@@ -121,10 +130,10 @@ def load_vae(vae_path: str, dtype=jnp.bfloat16):
 
     verify_state_dict(sd, expected_vae_keys(), "vae")
     params = convert_vae(sd)
-    return model, _cast_tree(params, dtype)
+    return model, _cast_tree(params, dtype, host=host)
 
 
-def load_t5(text_encoder_path: str, dtype=jnp.bfloat16):
+def load_t5(text_encoder_path: str, dtype=jnp.bfloat16, host: bool = False):
     from trajectorycrafter_tpu.models.t5 import T5EncoderModel, t5_xxl_config
     from trajectorycrafter_tpu.utils.convert import (
         convert_t5_encoder,
@@ -135,13 +144,23 @@ def load_t5(text_encoder_path: str, dtype=jnp.bfloat16):
     model = T5EncoderModel(cfg, dtype=dtype, param_dtype=dtype)
     sd = load_safetensors_dir(text_encoder_path)
     params = convert_t5_encoder(sd, cfg.num_layers)
-    return model, _cast_tree(params, dtype)
+    return model, _cast_tree(params, dtype, host=host)
 
 
 def load_full_bundle(cfg) -> "ModelBundle":
     """Assemble the complete inference bundle from a checkpoint directory
     laid out like the reference's (model_name/{vae,text_encoder,scheduler},
-    transformer_path/)."""
+    transformer_path/).
+
+    Residency policy (``cfg.offload``): a real-weight bundle is ~35 GB of
+    bf16 params (6.1B DiT + 4.7B T5-XXL + SVD UNet + CLIP-H + BLIP-2) and
+    cannot co-reside in one v5e chip's 16 GB HBM.  ``"stage"`` keeps every
+    model host-resident and device-places it only for its pipeline stage
+    (utils/offload.py -- the reference's accelerate CPU-offload hooks,
+    models/infer.py:34-43, re-expressed for TPU); ``"none"`` keeps today's
+    fully device-resident behaviour; ``"auto"`` (default) offloads only
+    when the loaded bundle exceeds ~80% of device memory.
+    """
     from trajectorycrafter_tpu.orchestrator import (
         ModelBundle,
         _plane_depth_infer,
@@ -149,16 +168,31 @@ def load_full_bundle(cfg) -> "ModelBundle":
     )
     from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
     from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
+    from trajectorycrafter_tpu.utils.offload import StageParams, should_offload
 
     dtype = jnp.bfloat16
-    vae, vae_params = load_vae(os.path.join(cfg.diffusion.model_name, "vae"), dtype)
+    mode = getattr(cfg, "offload", "auto")
+    host = mode != "none"
+    staged = []
+
+    def wrap(tree, name):
+        if not host:
+            return tree
+        sp = StageParams(tree, offload=False, name=name)  # policy set below
+        staged.append(sp)
+        return sp
+
+    vae, vae_params = load_vae(os.path.join(cfg.diffusion.model_name, "vae"),
+                               dtype, host=host)
+    vae_params = wrap(vae_params, "vae")
     dit, dit_params = load_dit(cfg.diffusion.transformer_path, dtype,
-                               quant=cfg.diffusion.quant)
+                               quant=cfg.diffusion.quant, host=host)
+    dit_params = wrap(dit_params, "dit")
     scheduler = SCHEDULER_REGISTRY[cfg.diffusion.sampler_name]()
-    pipeline = maybe_shard_pipeline(cfg, TrajCrafterPipeline(
+    pipeline = TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,
         transformer_params=dit_params, scheduler=scheduler, dtype=dtype,
-    ))
+    )
 
     # text encoder + tokenizer (the reference always loads both,
     # demo.py:643-657; dev stubs are opt-in via --allow_dev_stubs)
@@ -171,7 +205,9 @@ def load_full_bundle(cfg) -> "ModelBundle":
                 f"text encoder directory missing: {te_path} -- download the "
                 "CogVideoX-Fun text_encoder/ + tokenizer/ folders"
             )
-        t5, t5_params = load_t5(te_path, dtype)
+        t5, t5_params = load_t5(te_path, dtype, host=host)
+        t5_params = wrap(t5_params, "t5")
+        from trajectorycrafter_tpu.utils.offload import release, resolve
         from trajectorycrafter_tpu.utils.tokenizer import T5Tokenizer
 
         tok = T5Tokenizer(tok_path)
@@ -179,9 +215,12 @@ def load_full_bundle(cfg) -> "ModelBundle":
         def encode_prompt(prompt, negative):
             def enc(text):
                 ids = tok(text, max_length=226)
-                return t5.apply({"params": t5_params}, jnp.asarray(ids))
+                return t5.apply({"params": resolve(t5_params)}, jnp.asarray(ids))
 
-            return enc(prompt or ""), enc(negative or "")
+            pe, ne = enc(prompt or ""), enc(negative or "")
+            ne.block_until_ready()
+            release(t5_params)
+            return pe, ne
     except Exception as e:
         if not cfg.allow_dev_stubs:
             raise RuntimeError(
@@ -204,7 +243,7 @@ def load_full_bundle(cfg) -> "ModelBundle":
             raise FileNotFoundError(
                 f"DepthCrafter UNet directory missing: {cfg.depth.unet_path}"
             )
-        depth_infer = load_depthcrafter(cfg, dtype)
+        depth_infer = load_depthcrafter(cfg, dtype, host=host, wrap=wrap)
     except Exception as e:
         if not cfg.allow_dev_stubs:
             raise RuntimeError(
@@ -221,8 +260,21 @@ def load_full_bundle(cfg) -> "ModelBundle":
     captioner = (
         (lambda frame: cfg.diffusion.prompt)
         if cfg.diffusion.prompt
-        else build_captioner(cfg.diffusion.blip_path)
+        # BLIP-2 runs exactly once per video before everything else, so in
+        # host mode it always releases its device copy afterwards
+        else build_captioner(cfg.diffusion.blip_path, offload=host)
     )
+
+    # decide the stage-offload policy now that every component's size is known
+    if staged:
+        total = sum(sp.nbytes() for sp in staged)
+        off = mode == "stage" or (mode == "auto" and should_offload(total))
+        for sp in staged:
+            sp.offload = off
+        print(f"[trajcrafter-tpu] bundle params {total/1e9:.1f} GB -> "
+              f"stage offload {'ON' if off else 'off'} (--offload {mode})")
+
+    pipeline = maybe_shard_pipeline(cfg, pipeline)
     return ModelBundle(
         pipeline=pipeline,
         depth_infer=depth_infer,
@@ -231,9 +283,13 @@ def load_full_bundle(cfg) -> "ModelBundle":
     )
 
 
-def load_depthcrafter(cfg, dtype=jnp.bfloat16):
+def load_depthcrafter(cfg, dtype=jnp.bfloat16, host: bool = False, wrap=None):
     """Build the windowed depth callable from converted SVD/DepthCrafter
-    checkpoints (interface matches reference models/infer.py:52)."""
+    checkpoints (interface matches reference models/infer.py:52).
+
+    ``host``/``wrap``: stage-offload plumbing from load_full_bundle --
+    params stay host-resident and are wrapped as StageParams.
+    """
     from trajectorycrafter_tpu.models.clip import (
         CLIPVisionModelWithProjection,
         clip_vit_h14_config,
@@ -253,25 +309,27 @@ def load_depthcrafter(cfg, dtype=jnp.bfloat16):
         load_safetensors_dir,
     )
 
+    if wrap is None:
+        wrap = lambda tree, name: tree
     unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype)
-    unet_params = _cast_tree(
-        convert_svd_unet(load_safetensors_dir(cfg.depth.unet_path)), dtype
-    )
+    unet_params = wrap(_cast_tree(
+        convert_svd_unet(load_safetensors_dir(cfg.depth.unet_path)),
+        dtype, host=host), "svd_unet")
     vae = AutoencoderKLTemporalDecoder(dtype=dtype, param_dtype=dtype)
-    vae_params = _cast_tree(
+    vae_params = wrap(_cast_tree(
         convert_svd_vae(load_safetensors_dir(
-            os.path.join(cfg.depth.pre_train_path, "vae"))), dtype
-    )
+            os.path.join(cfg.depth.pre_train_path, "vae"))),
+        dtype, host=host), "svd_vae")
     image_encoder = image_encoder_params = None
     ie_path = os.path.join(cfg.depth.pre_train_path, "image_encoder")
     if os.path.isdir(ie_path):
         clip_cfg = clip_vit_h14_config()
         image_encoder = CLIPVisionModelWithProjection(clip_cfg, dtype=dtype,
                                                       param_dtype=dtype)
-        image_encoder_params = _cast_tree(
+        image_encoder_params = wrap(_cast_tree(
             convert_clip_vision(load_safetensors_dir(ie_path),
-                                clip_cfg.num_hidden_layers), dtype
-        )
+                                clip_cfg.num_hidden_layers),
+            dtype, host=host), "clip")
     pipe = DepthCrafterPipeline(
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
         image_encoder=image_encoder, image_encoder_params=image_encoder_params,
