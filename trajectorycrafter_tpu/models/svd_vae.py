@@ -159,6 +159,65 @@ class TemporalDecoder(nn.Module):
         return x
 
 
+def _pad_frames(x: jnp.ndarray, chunk: int) -> tuple[jnp.ndarray, int]:
+    """Replicate-pad the frame axis (1) up to a multiple of ``chunk`` so
+    every chunk shares one compiled program (static shapes)."""
+    f = x.shape[1]
+    pad = (-f) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[:, -1:], pad, axis=1)], axis=1)
+    return x, pad
+
+
+def svd_encode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
+                       frames: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
+    """(B, F, H, W, 3) -> (B, F, H/8, W/8, 8) moments, ``chunk`` frames per
+    program.  The encoder is purely per-frame, so this is EXACT -- it only
+    bounds peak activation memory: one-shot encode of 49 frames at 576x1024
+    allocates a 13.8 GB fp32 GroupNorm temp (measured OOM on a 16 GB chip).
+    The public DepthCrafter pipeline chunks its VAE passes the same way
+    (tencent/DepthCrafter depth_crafter_ppl.py encode_video chunk_size;
+    consumed by the reference via models/infer.py:9-10)."""
+    f = frames.shape[1]
+    if f <= chunk:
+        return vae.apply({"params": params}, frames,
+                         method=AutoencoderKLTemporalDecoder.encode)
+    x, _ = _pad_frames(frames, chunk)
+    outs = [
+        vae.apply({"params": params}, x[:, i : i + chunk],
+                  method=AutoencoderKLTemporalDecoder.encode)
+        for i in range(0, x.shape[1], chunk)
+    ]
+    return jnp.concatenate(outs, axis=1)[:, :f]
+
+
+def svd_decode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
+                       z: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
+    """(B, F, h, w, lat) -> (B, F, 8h, 8w, 3), ``chunk`` frames per program.
+
+    The temporal decoder's time mixing then runs within each chunk -- the
+    published SVD/DepthCrafter ``decode_chunk_size`` behaviour (the decoder
+    receives ``num_frames=chunk``).  The default chunk scales inversely with
+    frame area: the decoder's peak (fp32 up-block GroupNorm temps + the mid
+    attention's (f, hw/64, hw/64) score tensor) is linear in chunk x pixels,
+    and 8 frames at 576x1024 measured RESOURCE_EXHAUSTED on a 16 GB chip
+    while 4 fit."""
+    f = z.shape[1]
+    if chunk is None:
+        # ~4 frames' worth of 576x1024 decoder temps per program
+        chunk = int(min(8, max(1, (4 * 72 * 128) // (z.shape[2] * z.shape[3]))))
+    if f <= chunk:
+        return vae.apply({"params": params}, z,
+                         method=AutoencoderKLTemporalDecoder.decode)
+    x, _ = _pad_frames(z, chunk)
+    outs = [
+        vae.apply({"params": params}, x[:, i : i + chunk],
+                  method=AutoencoderKLTemporalDecoder.decode)
+        for i in range(0, x.shape[1], chunk)
+    ]
+    return jnp.concatenate(outs, axis=1)[:, :f]
+
+
 class AutoencoderKLTemporalDecoder(nn.Module):
     latent_channels: int = 4
     scaling_factor: float = SVD_VAE_SCALING

@@ -33,7 +33,11 @@ from trajectorycrafter_tpu.models.clip import (
     CLIPVisionModelWithProjection,
 )
 from trajectorycrafter_tpu.models.depthcrafter import UNetSpatioTemporalConditionModel
-from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+from trajectorycrafter_tpu.models.svd_vae import (
+    AutoencoderKLTemporalDecoder,
+    svd_decode_chunked,
+    svd_encode_chunked,
+)
 from trajectorycrafter_tpu.ops.resize import resize_linear
 from trajectorycrafter_tpu.schedulers.euler import EulerDiscreteScheduler
 
@@ -105,11 +109,11 @@ class DepthCrafterPipeline:
         from trajectorycrafter_tpu.utils.offload import release, resolve
 
         ctx = self.encode_image_embeddings(frames).astype(self.dtype)
-        # per-frame conditioning latents (SVD convention: un-scaled mode)
-        moments = self.vae.apply(
-            {"params": resolve(self.vae_params)},
+        # per-frame conditioning latents (SVD convention: un-scaled mode),
+        # frame-chunked: one-shot encode of 49 full-res frames OOMs 16 GB HBM
+        moments = svd_encode_chunked(
+            self.vae, resolve(self.vae_params),
             (frames * 2.0 - 1.0)[None].astype(self.dtype),
-            method=AutoencoderKLTemporalDecoder.encode,
         )[0]
         cond_latents = moments[..., : self.vae.latent_channels].astype(jnp.float32)
 
@@ -156,10 +160,9 @@ class DepthCrafterPipeline:
         # stage offload: drop the UNet before the (activation-heavy) decode
         latents_all.block_until_ready()
         release(self.unet_params)
-        dec = self.vae.apply(
-            {"params": resolve(self.vae_params)},
+        dec = svd_decode_chunked(
+            self.vae, resolve(self.vae_params),
             (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
-            method=AutoencoderKLTemporalDecoder.decode,
         )[0].astype(jnp.float32)
         dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
         release(self.vae_params)
