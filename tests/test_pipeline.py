@@ -121,6 +121,29 @@ def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.parametrize(
+    "sch_cls,kw",
+    [
+        (DDIMScheduler, {"prediction_type": "v_prediction"}),
+        (CogVideoXDPMScheduler, {}),
+        (PNDMScheduler, {"prediction_type": "v_prediction"}),
+        (EulerDiscreteScheduler, {"timestep_spacing": "trailing"}),
+    ],
+)
+def test_chunked_dispatch_matches_monolithic(tiny_pipeline, rng, sch_cls, kw):
+    """steps_per_dispatch chunking is numerically identical to one dispatch
+    for every scheduler family (incl. a non-dividing final partial chunk)."""
+    import dataclasses
+
+    pipe = dataclasses.replace(tiny_pipeline, scheduler=sch_cls(**kw))
+    video, mask, reference, pe, ne = _inputs(rng)
+    kwargs = dict(num_inference_steps=5, guidance_scale=6.0,
+                  key=jax.random.PRNGKey(3), output_type="latent")
+    mono = pipe(pe, ne, video, mask, reference, steps_per_dispatch=0, **kwargs)
+    chunked = pipe(pe, ne, video, mask, reference, steps_per_dispatch=2, **kwargs)
+    np.testing.assert_array_equal(np.asarray(mono), np.asarray(chunked))
+
+
 def test_latent_output(tiny_pipeline, rng):
     video, mask, reference, pe, ne = _inputs(rng)
     lat = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,

@@ -49,6 +49,9 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=("none", "int8"),
                    help="int8: run block attn/FF GEMMs on the int8 MXU path "
                         "(~8%% faster denoise; weights quantized at load)")
+    p.add_argument("--steps_per_dispatch", type=int,
+                   default=d.diffusion.steps_per_dispatch,
+                   help="denoise steps per XLA execution (<=0: one dispatch)")
     p.add_argument("--sampler_name", type=str, default=d.diffusion.sampler_name,
                    choices=["Euler", "Euler A", "DPM++", "PNDM", "DDIM_Cog",
                             "DDIM_Origin"])
@@ -125,6 +128,7 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
     cfg.diffusion.model_name = args.model_name
     cfg.diffusion.sampler_name = args.sampler_name
     cfg.diffusion.quant = args.quant
+    cfg.diffusion.steps_per_dispatch = args.steps_per_dispatch
     cfg.diffusion.transformer_path = args.transformer_path
     cfg.diffusion.sample_size = tuple(args.sample_size)
     cfg.diffusion.guidance_scale = args.diffusion_guidance_scale

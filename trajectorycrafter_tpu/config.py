@@ -56,6 +56,11 @@ class DiffusionConfig:
     blip_path: str = "checkpoints/blip2-opt-2.7b"
     noise_aug_strength: float = 0.0563
     quant: str = "none"  # "int8": block attn/FF GEMMs on the int8 MXU path
+    # denoise steps per XLA execution (one compiled program, dynamic start
+    # index). Bounds single-execution wall-clock -- long monolithic loops
+    # can trip runtime watchdogs -- at zero throughput cost (async dispatch).
+    # <= 0 = one monolithic dispatch.
+    steps_per_dispatch: int = 5
     use_dynamic_cfg: bool = False
     torch_rng_compat: bool = False  # draw initial latents with torch's RNG
     ref_frames: int = 10  # reference frames fed to the Perceiver branch

@@ -298,6 +298,7 @@ class TrajCrafter:
             key=jax.random.PRNGKey(cfg.seed),
             latents=latents,
             noise_aug_strength=cfg.diffusion.noise_aug_strength,
+            steps_per_dispatch=cfg.diffusion.steps_per_dispatch,
         )
         gen = np.asarray(sample[0])  # (F, H, W, 3) in [0, 1]
         save_video(gen[save_skip:] if save_skip else gen,

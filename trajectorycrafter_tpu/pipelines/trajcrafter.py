@@ -5,9 +5,16 @@ TPU-native redesign of the reference TrajCrafter_Pipeline
 
   * condition prep (VAE encodes of reference clip + masked warped video,
     latent-space mask resize, noise aug) is one jit program;
-  * the 50-step CFG denoise loop is a single ``lax.fori_loop`` -- the
-    CFG pair rides the batch axis (uncond/cond stacked), so a 2-way data
-    mesh axis shards it across chips with zero code change;
+  * the 50-step CFG denoise loop runs as a ``lax.fori_loop`` chunked into
+    a few dispatches (``steps_per_dispatch``): each chunk is one XLA
+    execution with a *dynamic* start index, so every chunk shares one
+    compiled program and the chain is numerically identical to a single
+    monolithic loop.  Chunking costs nothing (async dispatch keeps the
+    device saturated) and bounds the wall-clock of any one execution --
+    long single executions can trip runtime/relay watchdogs, and chunk
+    boundaries are natural preemption/progress points.  The CFG pair
+    rides the batch axis (uncond/cond stacked), so a 2-way data mesh
+    axis shards it across chips with zero code change;
   * VAE decode streams through ``lax.scan`` chunks (models/vae.py).
 
 Inputs are channel-last: video (B, F, H, W, 3) in [0, 1], mask_video
@@ -134,6 +141,7 @@ class TrajCrafterPipeline:
         latents: Optional[jnp.ndarray] = None,
         noise_aug_strength: float = 0.0563,
         output_type: str = "np",
+        steps_per_dispatch: int = 5,
     ):
         """Full sampling run; returns (B, F, H, W, 3) video in [0, 1]."""
         if key is None:
@@ -184,11 +192,12 @@ class TrajCrafterPipeline:
         from trajectorycrafter_tpu.utils.offload import release, resolve
 
         with self._mesh_ctx():
-            latents = _denoise_loop_jit(
+            latents = _denoise_loop(
                 self.transformer, resolve(self.transformer_params),
                 self.scheduler, state,
                 latents, text, inpaint_in, ref_in, rope, num_inference_steps,
                 float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
+                steps_per_dispatch=int(steps_per_dispatch),
             )
             # stage offload: drop the 12.2 GB DiT device copy before decode
             # so the decoder's up-block activations fit beside it
@@ -247,19 +256,54 @@ def _prepare_conditions_jit(
     return inpaint_latents.astype(dtype), ref_latents.astype(dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "transformer", "scheduler", "num_steps", "do_cfg", "use_dynamic_cfg", "dtype",
-    ),
-)
-def _denoise_loop_jit(
+def _denoise_loop(
     transformer, params, scheduler, state, latents, text, inpaint, ref, rope,
     num_steps, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+    steps_per_dispatch=5,
 ):
+    """Run the sampling loop as ceil(loop_steps / steps_per_dispatch) XLA
+    executions.  Every full-size chunk reuses ONE compiled program (the
+    start index ``i0`` is a dynamic operand); a shorter final chunk (only
+    when steps_per_dispatch doesn't divide the step count) compiles once
+    more.  ``steps_per_dispatch <= 0`` means a single monolithic dispatch."""
     is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
     is_pndm = isinstance(scheduler, PNDMScheduler)
     loop_steps = scheduler.num_loop_steps(num_steps) if is_pndm else num_steps
+
+    latents = latents.astype(jnp.float32)
+    if is_pndm:
+        carry = (latents, scheduler.init_loop_state(latents.shape, jnp.float32))
+    elif is_dpm:
+        carry = (latents, jnp.zeros_like(latents))
+    else:
+        carry = (latents,)
+
+    spd = steps_per_dispatch if steps_per_dispatch > 0 else loop_steps
+    i0 = 0
+    while i0 < loop_steps:
+        chunk = min(spd, loop_steps - i0)
+        carry = _denoise_chunk_jit(
+            transformer, params, scheduler, state, carry, jnp.int32(i0),
+            text, inpaint, ref, rope, num_steps, chunk,
+            guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+        )
+        i0 += chunk
+    return carry[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "transformer", "scheduler", "num_steps", "chunk", "do_cfg",
+        "use_dynamic_cfg", "dtype",
+    ),
+)
+def _denoise_chunk_jit(
+    transformer, params, scheduler, state, carry, i0, text, inpaint, ref, rope,
+    num_steps, chunk, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+):
+    is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
+    is_pndm = isinstance(scheduler, PNDMScheduler)
 
     def model_call(lat, i):
         lat_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
@@ -284,15 +328,11 @@ def _denoise_loop_jit(
         return noise_pred
 
     if is_pndm:
-        loop0 = scheduler.init_loop_state(latents.shape, jnp.float32)
-
         def body(i, carry):
             lat, loop = carry
             noise_pred = model_call(lat, i)
             lat, loop = scheduler.step(state, noise_pred, i, lat, loop)
             return (lat, loop)
-
-        latents, _ = jax.lax.fori_loop(0, loop_steps, body, (latents, loop0))
     elif is_dpm:
         def body(i, carry):
             lat, prev_x0 = carry
@@ -300,17 +340,12 @@ def _denoise_loop_jit(
             lat, x0 = scheduler.step(state, noise_pred, i, lat,
                                      prev_x0=prev_x0, num_steps=num_steps)
             return (lat, x0)
-
-        latents, _ = jax.lax.fori_loop(
-            0, loop_steps, body, (latents, jnp.zeros_like(latents))
-        )
     else:
-        def body(i, lat):
-            noise_pred = model_call(lat, i)
-            return scheduler.step(state, noise_pred, i, lat)
+        def body(i, carry):
+            noise_pred = model_call(carry[0], i)
+            return (scheduler.step(state, noise_pred, i, carry[0]),)
 
-        latents = jax.lax.fori_loop(0, loop_steps, body, latents)
-    return latents
+    return jax.lax.fori_loop(i0, i0 + chunk, body, carry)
 
 
 def _decode_jit(vae, vae_params, latents, scaling_factor):
