@@ -114,18 +114,26 @@ class ModelMixin(nn.Module):
         return next(self.parameters()).dtype
 
 
+class BaseOutput:
+    """diffusers BaseOutput subset: field access by position (``out[0]``),
+    as the reference pipeline does ``self.vae.encode(x)[0]``."""
+
+    def __getitem__(self, i):
+        return list(self.__dict__.values())[i]
+
+
 @dataclass
-class Transformer2DModelOutput:
+class Transformer2DModelOutput(BaseOutput):
     sample: torch.Tensor
 
 
 @dataclass
-class AutoencoderKLOutput:
+class AutoencoderKLOutput(BaseOutput):
     latent_dist: "DiagonalGaussianDistribution"
 
 
 @dataclass
-class DecoderOutput:
+class DecoderOutput(BaseOutput):
     sample: torch.Tensor
 
 
@@ -564,6 +572,388 @@ class DiagonalGaussianDistribution:
 
 
 # ----------------------------------------------------------------------------
+# pipeline-level symbols (for executing the reference's
+# pipeline_trajectorycrafter.py itself -- tests/test_reference_pipeline_parity)
+# ----------------------------------------------------------------------------
+
+
+class PipelineCallback:
+    tensor_inputs: list = []
+
+
+class MultiPipelineCallbacks:
+    tensor_inputs: list = []
+
+
+def replace_example_docstring(example_docstring):
+    def decorator(fn):
+        return fn
+
+    return decorator
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+    """diffusers.utils.torch_utils.randn_tensor subset (CPU path): a list of
+    generators draws per-batch-element; a single generator draws one shot."""
+    device = device or torch.device("cpu")
+    if isinstance(generator, list):
+        shape_1 = (1,) + tuple(shape[1:])
+        latents = [
+            torch.randn(shape_1, generator=generator[i], device="cpu", dtype=dtype)
+            for i in range(shape[0])
+        ]
+        return torch.cat(latents, dim=0).to(device)
+    return torch.randn(shape, generator=generator, device="cpu", dtype=dtype).to(device)
+
+
+def get_1d_rotary_pos_embed(dim, pos, theta=10000.0):
+    """-> (cos, sin), each (len(pos), dim), pairs repeat-interleaved (the
+    use_real=True, repeat_interleave_real=True branch diffusers uses here)."""
+    freqs = 1.0 / (
+        theta ** (torch.arange(0, dim, 2, dtype=torch.float64)[: dim // 2] / dim)
+    )
+    freqs = torch.outer(torch.from_numpy(np.asarray(pos)).float(), freqs.float())
+    cos = freqs.cos().repeat_interleave(2, dim=1)
+    sin = freqs.sin().repeat_interleave(2, dim=1)
+    return cos, sin
+
+
+def get_3d_rotary_pos_embed(
+    embed_dim, crops_coords, grid_size, temporal_size, theta=10000, use_real=True
+):
+    """CogVideoX 3D RoPE: head channels t:h:w = 1/4 : 3/8 : 3/8, spatial grids
+    cropped to the base resolution (diffusers get_3d_rotary_pos_embed)."""
+    start, stop = crops_coords
+    grid_size_h, grid_size_w = grid_size
+    grid_h = np.linspace(
+        start[0], stop[0], grid_size_h, endpoint=False, dtype=np.float32
+    )
+    grid_w = np.linspace(
+        start[1], stop[1], grid_size_w, endpoint=False, dtype=np.float32
+    )
+    grid_t = np.linspace(0, temporal_size, temporal_size, endpoint=False,
+                         dtype=np.float32)
+
+    dim_t = embed_dim // 4
+    dim_h = embed_dim // 8 * 3
+    dim_w = embed_dim // 8 * 3
+    freqs_t = get_1d_rotary_pos_embed(dim_t, grid_t, theta=theta)
+    freqs_h = get_1d_rotary_pos_embed(dim_h, grid_h, theta=theta)
+    freqs_w = get_1d_rotary_pos_embed(dim_w, grid_w, theta=theta)
+
+    def combine(ft, fh, fw):
+        ft = ft[:, None, None, :].expand(-1, grid_size_h, grid_size_w, -1)
+        fh = fh[None, :, None, :].expand(temporal_size, -1, grid_size_w, -1)
+        fw = fw[None, None, :, :].expand(temporal_size, grid_size_h, -1, -1)
+        return torch.cat([ft, fh, fw], dim=-1).reshape(
+            temporal_size * grid_size_h * grid_size_w, -1
+        )
+
+    cos = combine(freqs_t[0], freqs_h[0], freqs_w[0])
+    sin = combine(freqs_t[1], freqs_h[1], freqs_w[1])
+    return cos, sin
+
+
+class DiffusionPipeline:
+    """Minimal base: module registration, device/dtype, progress bar."""
+
+    def __init__(self):
+        pass
+
+    def register_modules(self, **kwargs):
+        for name, module in kwargs.items():
+            setattr(self, name, module)
+
+    @property
+    def _execution_device(self):
+        return torch.device("cpu")
+
+    @property
+    def device(self):
+        return torch.device("cpu")
+
+    @property
+    def dtype(self):
+        transformer = getattr(self, "transformer", None)
+        if transformer is not None:
+            return transformer.dtype
+        return torch.float32
+
+    def progress_bar(self, total=None):
+        class _Bar:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def update(self, n=1):
+                pass
+
+        return _Bar()
+
+    def maybe_free_model_hooks(self):
+        pass
+
+
+def _rescale_zero_terminal_snr_abar(alphas_cumprod):
+    """CogVideoX variant: operates on alphas_cumprod via sqrt-shift
+    (Lin et al.; diffusers scheduling_ddim_cogvideox rescale_zero_terminal_snr)."""
+    alphas_bar_sqrt = alphas_cumprod.sqrt()
+    alphas_bar_sqrt_0 = alphas_bar_sqrt[0].clone()
+    alphas_bar_sqrt_T = alphas_bar_sqrt[-1].clone()
+    alphas_bar_sqrt -= alphas_bar_sqrt_T
+    alphas_bar_sqrt *= alphas_bar_sqrt_0 / (alphas_bar_sqrt_0 - alphas_bar_sqrt_T)
+    return alphas_bar_sqrt**2
+
+
+class CogVideoXDDIMScheduler(ConfigMixin):
+    """Transcription of diffusers' CogVideoXDDIMScheduler (the reference's
+    default 'DDIM_Cog' sampler, demo.py:647-657): DDIM with the SNR-shifted
+    alphas_cumprod and optional zero-terminal-SNR rescale."""
+
+    order = 1
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.0120,
+        beta_schedule: str = "scaled_linear",
+        trained_betas=None,
+        clip_sample: bool = True,
+        set_alpha_to_one: bool = True,
+        steps_offset: int = 0,
+        prediction_type: str = "epsilon",
+        clip_sample_range: float = 1.0,
+        sample_max_value: float = 1.0,
+        timestep_spacing: str = "leading",
+        rescale_betas_zero_snr: bool = False,
+        snr_shift_scale: float = 3.0,
+    ):
+        if beta_schedule == "linear":
+            self.betas = torch.linspace(
+                beta_start, beta_end, num_train_timesteps, dtype=torch.float32
+            )
+        elif beta_schedule == "scaled_linear":
+            self.betas = (
+                torch.linspace(
+                    beta_start**0.5, beta_end**0.5, num_train_timesteps,
+                    dtype=torch.float64,
+                )
+                ** 2
+            )
+        else:
+            raise NotImplementedError(beta_schedule)
+        self.alphas = 1.0 - self.betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        # SNR shift (CogVideoX)
+        self.alphas_cumprod = self.alphas_cumprod / (
+            snr_shift_scale + (1 - snr_shift_scale) * self.alphas_cumprod
+        )
+        if rescale_betas_zero_snr:
+            self.alphas_cumprod = _rescale_zero_terminal_snr_abar(self.alphas_cumprod)
+        self.final_alpha_cumprod = (
+            torch.tensor(1.0) if set_alpha_to_one else self.alphas_cumprod[0]
+        )
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.from_numpy(
+            np.arange(0, num_train_timesteps)[::-1].copy().astype(np.int64)
+        )
+
+    def _get_variance(self, timestep, prev_timestep):
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (
+            self.alphas_cumprod[prev_timestep]
+            if prev_timestep >= 0
+            else self.final_alpha_cumprod
+        )
+        beta_prod_t = 1 - alpha_prod_t
+        beta_prod_t_prev = 1 - alpha_prod_t_prev
+        return (beta_prod_t_prev / beta_prod_t) * (
+            1 - alpha_prod_t / alpha_prod_t_prev
+        )
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        self.num_inference_steps = num_inference_steps
+        if self.config.timestep_spacing == "linspace":
+            timesteps = (
+                np.linspace(0, self.config.num_train_timesteps - 1, num_inference_steps)
+                .round()[::-1]
+                .copy()
+                .astype(np.int64)
+            )
+        elif self.config.timestep_spacing == "leading":
+            step_ratio = self.config.num_train_timesteps // self.num_inference_steps
+            timesteps = (
+                (np.arange(0, num_inference_steps) * step_ratio)
+                .round()[::-1]
+                .copy()
+                .astype(np.int64)
+            )
+            timesteps += self.config.steps_offset
+        elif self.config.timestep_spacing == "trailing":
+            step_ratio = self.config.num_train_timesteps / self.num_inference_steps
+            timesteps = np.round(
+                np.arange(self.config.num_train_timesteps, 0, -step_ratio)
+            ).astype(np.int64)
+            timesteps -= 1
+        else:
+            raise ValueError(self.config.timestep_spacing)
+        self.timesteps = torch.from_numpy(timesteps).to(device)
+
+    def step(
+        self,
+        model_output,
+        timestep,
+        sample,
+        eta: float = 0.0,
+        use_clipped_model_output: bool = False,
+        generator=None,
+        variance_noise=None,
+        return_dict: bool = True,
+    ):
+        if self.num_inference_steps is None:
+            raise ValueError("call set_timesteps first")
+        prev_timestep = (
+            timestep - self.config.num_train_timesteps // self.num_inference_steps
+        )
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (
+            self.alphas_cumprod[prev_timestep]
+            if prev_timestep >= 0
+            else self.final_alpha_cumprod
+        )
+        beta_prod_t = 1 - alpha_prod_t
+
+        if self.config.prediction_type == "epsilon":
+            pred_original_sample = (
+                sample - beta_prod_t ** (0.5) * model_output
+            ) / alpha_prod_t ** (0.5)
+            pred_epsilon = model_output
+        elif self.config.prediction_type == "sample":
+            pred_original_sample = model_output
+            pred_epsilon = (
+                sample - alpha_prod_t ** (0.5) * pred_original_sample
+            ) / beta_prod_t ** (0.5)
+        elif self.config.prediction_type == "v_prediction":
+            pred_original_sample = (alpha_prod_t**0.5) * sample - (
+                beta_prod_t**0.5
+            ) * model_output
+            pred_epsilon = (alpha_prod_t**0.5) * model_output + (
+                beta_prod_t**0.5
+            ) * sample
+        else:
+            raise ValueError(self.config.prediction_type)
+
+        variance = self._get_variance(timestep, prev_timestep)
+        std_dev_t = eta * variance ** (0.5)
+
+        if use_clipped_model_output:
+            pred_epsilon = (
+                sample - alpha_prod_t ** (0.5) * pred_original_sample
+            ) / beta_prod_t ** (0.5)
+
+        pred_sample_direction = (
+            1 - alpha_prod_t_prev - std_dev_t**2
+        ) ** (0.5) * pred_epsilon
+        prev_sample = (
+            alpha_prod_t_prev ** (0.5) * pred_original_sample + pred_sample_direction
+        )
+
+        if eta > 0:
+            if variance_noise is None:
+                variance_noise = randn_tensor(
+                    model_output.shape,
+                    generator=generator,
+                    device=model_output.device,
+                    dtype=model_output.dtype,
+                )
+            prev_sample = prev_sample + std_dev_t * variance_noise
+
+        if not return_dict:
+            return (prev_sample,)
+        return types.SimpleNamespace(
+            prev_sample=prev_sample, pred_original_sample=pred_original_sample
+        )
+
+
+class CogVideoXDPMScheduler(ConfigMixin):
+    """Marker only: the pipeline's isinstance branch for the two-return-value
+    DPM step.  Not exercised by the parity tests (DDIM is the deployed
+    default); instantiate the real thing if a DPM parity test is added."""
+
+    order = 1
+
+    def __init__(self, *a, **k):  # pragma: no cover
+        raise NotImplementedError("DPM scheduler not shimmed")
+
+
+class VaeImageProcessor:
+    """Tensor-input subset of diffusers VaeImageProcessor.preprocess (the
+    reference feeds (b f, c, h, w) torch tensors only)."""
+
+    def __init__(
+        self,
+        do_resize: bool = True,
+        vae_scale_factor: int = 8,
+        do_normalize: bool = True,
+        do_binarize: bool = False,
+        do_convert_grayscale: bool = False,
+        **kwargs,
+    ):
+        self.config = types.SimpleNamespace(
+            do_resize=do_resize,
+            vae_scale_factor=vae_scale_factor,
+            do_normalize=do_normalize,
+            do_binarize=do_binarize,
+            do_convert_grayscale=do_convert_grayscale,
+        )
+
+    def preprocess(self, image, height=None, width=None):
+        assert isinstance(image, torch.Tensor) and image.ndim == 4, (
+            "shim preprocess supports 4D torch tensors only"
+        )
+        # (do_convert_grayscale only unsqueezes 3D tensors in diffusers; 4D
+        # input is assumed already single-channel -- as the reference's is)
+        if self.config.do_resize and (
+            height is not None
+            and width is not None
+            and tuple(image.shape[-2:]) != (height, width)
+        ):
+            image = F.interpolate(image, size=(height, width))
+        do_normalize = self.config.do_normalize
+        if do_normalize and image.min() < 0:
+            do_normalize = False
+        if do_normalize:
+            image = 2.0 * image - 1.0
+        if self.config.do_binarize:
+            image = image.clone()
+            image[image < 0.5] = 0
+            image[image >= 0.5] = 1
+        return image
+
+
+class VideoProcessor(VaeImageProcessor):
+    """Only constructed by the reference pipeline; postprocess_video is not
+    reached for output_type latent/numpy."""
+
+    def postprocess_video(self, video, output_type="np"):  # pragma: no cover
+        raise NotImplementedError("shim: use output_type='latent' or 'numpy'")
+
+
+class _AutoencoderKLCogVideoXMarker:
+    """Type-annotation stand-in for ``from diffusers.models import
+    AutoencoderKLCogVideoX`` (the real instance passed in is the reference's
+    own autoencoder_magvit model)."""
+
+
+# ----------------------------------------------------------------------------
 # module registration
 # ----------------------------------------------------------------------------
 
@@ -590,10 +980,27 @@ def install():
             register_to_config=register_to_config),
         "diffusers.utils": _module(
             "diffusers.utils", is_torch_version=is_torch_version,
-            logging=_LoggingShim()),
+            logging=_LoggingShim(), BaseOutput=BaseOutput,
+            replace_example_docstring=replace_example_docstring),
         "diffusers.utils.torch_utils": _module(
             "diffusers.utils.torch_utils",
-            maybe_allow_in_graph=maybe_allow_in_graph),
+            maybe_allow_in_graph=maybe_allow_in_graph,
+            randn_tensor=randn_tensor),
+        "diffusers.callbacks": _module(
+            "diffusers.callbacks", PipelineCallback=PipelineCallback,
+            MultiPipelineCallbacks=MultiPipelineCallbacks),
+        "diffusers.pipelines": _module("diffusers.pipelines"),
+        "diffusers.pipelines.pipeline_utils": _module(
+            "diffusers.pipelines.pipeline_utils",
+            DiffusionPipeline=DiffusionPipeline),
+        "diffusers.schedulers": _module(
+            "diffusers.schedulers",
+            CogVideoXDDIMScheduler=CogVideoXDDIMScheduler,
+            CogVideoXDPMScheduler=CogVideoXDPMScheduler),
+        "diffusers.video_processor": _module(
+            "diffusers.video_processor", VideoProcessor=VideoProcessor),
+        "diffusers.image_processor": _module(
+            "diffusers.image_processor", VaeImageProcessor=VaeImageProcessor),
         "diffusers.utils.accelerate_utils": _module(
             "diffusers.utils.accelerate_utils",
             apply_forward_hook=apply_forward_hook),
@@ -601,7 +1008,9 @@ def install():
         "diffusers.loaders.single_file_model": _module(
             "diffusers.loaders.single_file_model",
             FromOriginalModelMixin=FromOriginalModelMixin),
-        "diffusers.models": _module("diffusers.models"),
+        "diffusers.models": _module(
+            "diffusers.models",
+            AutoencoderKLCogVideoX=_AutoencoderKLCogVideoXMarker),
         "diffusers.models.attention": _module(
             "diffusers.models.attention", Attention=Attention,
             FeedForward=FeedForward),
@@ -614,7 +1023,9 @@ def install():
             "diffusers.models.embeddings", TimestepEmbedding=TimestepEmbedding,
             Timesteps=Timesteps, get_3d_sincos_pos_embed=get_3d_sincos_pos_embed,
             apply_rotary_emb=apply_rotary_emb,
-            get_timestep_embedding=get_timestep_embedding),
+            get_timestep_embedding=get_timestep_embedding,
+            get_1d_rotary_pos_embed=get_1d_rotary_pos_embed,
+            get_3d_rotary_pos_embed=get_3d_rotary_pos_embed),
         "diffusers.models.modeling_outputs": _module(
             "diffusers.models.modeling_outputs",
             Transformer2DModelOutput=Transformer2DModelOutput,

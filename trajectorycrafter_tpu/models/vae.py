@@ -559,12 +559,19 @@ def vae_decode_auto(
     )
 
 
-def sample_posterior(moments: jnp.ndarray, key, latent_channels: int = 16):
-    """DiagonalGaussian sample from concatenated (mean, logvar) moments."""
+def sample_posterior(moments: jnp.ndarray, key, latent_channels: int = 16,
+                     noise: jnp.ndarray | None = None):
+    """DiagonalGaussian sample from concatenated (mean, logvar) moments.
+
+    ``noise`` overrides the draw (RNG-parity hook: pass torch-generated noise
+    from utils/torch_compat to bit-match the reference's global-RNG
+    ``DiagonalGaussianDistribution.sample()``)."""
     mean = moments[..., :latent_channels]
     logvar = jnp.clip(moments[..., latent_channels:], -30.0, 20.0)
     std = jnp.exp(0.5 * logvar)
-    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+    return mean + std * noise.astype(mean.dtype)
 
 
 def posterior_mode(moments: jnp.ndarray, latent_channels: int = 16):

@@ -116,13 +116,28 @@ class TrajCrafterPipeline:
         reference: jnp.ndarray,  # (B, F_ref, H, W, 3) in [0, 1]
         key: jax.Array,
         noise_aug_strength: float = 0.0563,
+        noise_override: Optional[Tuple] = None,
     ):
-        """-> (inpaint_latents (B,F',h,w,17), ref_latents (B,Fr',h,w,16))."""
+        """-> (inpaint_latents (B,F',h,w,17), ref_latents (B,Fr',h,w,16)).
+
+        ``noise_override=(ref_noise, aug_noise)`` (channel-last arrays) is the
+        RNG-parity hook: inject torch-generated gaussians so outputs bit-match
+        the reference pipeline at a fixed torch seed
+        (utils/torch_compat.reference_condition_noise)."""
         from trajectorycrafter_tpu.utils.offload import resolve
 
-        return _prepare_conditions_jit(
+        if noise_override is None:
+            return _prepare_conditions_jit(
+                self.vae, resolve(self.vae_params), video, mask_video, reference,
+                key, noise_aug_strength,
+                self.transformer.add_noise_in_inpaint_model,
+                self.vae.scaling_factor, self.dtype,
+            )
+        ref_noise, aug_noise = noise_override
+        return _prepare_conditions_override_jit(
             self.vae, resolve(self.vae_params), video, mask_video, reference,
-            key, noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
+            jnp.asarray(ref_noise, jnp.float32), jnp.asarray(aug_noise, jnp.float32),
+            noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
             self.vae.scaling_factor, self.dtype,
         )
 
@@ -142,6 +157,7 @@ class TrajCrafterPipeline:
         noise_aug_strength: float = 0.0563,
         output_type: str = "np",
         steps_per_dispatch: int = 5,
+        noise_override: Optional[Tuple] = None,
     ):
         """Full sampling run; returns (B, F, H, W, 3) video in [0, 1]."""
         if key is None:
@@ -155,7 +171,8 @@ class TrajCrafterPipeline:
 
         with self._mesh_ctx():
             inpaint_latents, ref_latents = self.prepare_conditions(
-                video, mask_video, reference, key_cond, noise_aug_strength
+                video, mask_video, reference, key_cond, noise_aug_strength,
+                noise_override=noise_override,
             )
 
         if latents is None:
@@ -218,12 +235,10 @@ class TrajCrafterPipeline:
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
-def _prepare_conditions_jit(
-    vae, vae_params, video, mask_video, reference, key,
+def _prepare_conditions_core(
+    vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
     noise_aug_strength, add_noise_aug, scaling_factor, dtype,
 ):
-    key_ref, key_aug = jax.random.split(key)
     f_lat = (video.shape[1] - 1) // 4 + 1
     h_lat = video.shape[2] // 8
     w_lat = video.shape[3] // 8
@@ -231,16 +246,18 @@ def _prepare_conditions_jit(
     # --- reference branch: VAE-encode first frames, posterior sample
     ref = reference.astype(jnp.float32) * 2.0 - 1.0
     ref_moments = vae_encode(vae, vae_params, ref.astype(dtype))
-    ref_latents = sample_posterior(ref_moments.astype(jnp.float32), key_ref,
-                                   vae.latent_channels) * scaling_factor
+    ref_latents = sample_posterior(ref_moments.astype(jnp.float32), None,
+                                   vae.latent_channels,
+                                   noise=ref_noise) * scaling_factor
 
-    # --- inpaint branch (reference pipeline:949-1028)
+    # --- inpaint branch (reference pipeline:949-1028); binarize threshold is
+    # 0.5 on the RAW [0,255] mask scale (mask_processor do_binarize,
+    # reference pipeline:238-243)
     init_video = video.astype(jnp.float32) * 2.0 - 1.0
-    mask01 = (mask_video.astype(jnp.float32) / 255.0 >= 0.5).astype(jnp.float32)
+    mask01 = (mask_video.astype(jnp.float32) >= 0.5).astype(jnp.float32)
     masked_video = init_video * (mask01 < 0.5) + (-1.0) * (mask01 > 0.5)
     if add_noise_aug:
-        noise = jax.random.normal(key_aug, masked_video.shape, jnp.float32)
-        noise = noise * noise_aug_strength
+        noise = aug_noise * noise_aug_strength
         noise = jnp.where(masked_video == -1.0, 0.0, noise)
         masked_video = masked_video + noise
     mv_moments = vae_encode(vae, vae_params, masked_video.astype(dtype))
@@ -254,6 +271,34 @@ def _prepare_conditions_jit(
 
     inpaint_latents = jnp.concatenate([mask_latents, masked_video_latents], axis=-1)
     return inpaint_latents.astype(dtype), ref_latents.astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
+def _prepare_conditions_jit(
+    vae, vae_params, video, mask_video, reference, key,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+):
+    key_ref, key_aug = jax.random.split(key)
+    b, f_ref = reference.shape[:2]
+    ref_shape = (b, (f_ref - 1) // 4 + 1, reference.shape[2] // 8,
+                 reference.shape[3] // 8, vae.latent_channels)
+    ref_noise = jax.random.normal(key_ref, ref_shape, jnp.float32)
+    aug_noise = jax.random.normal(key_aug, video.shape, jnp.float32)
+    return _prepare_conditions_core(
+        vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
+        noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
+def _prepare_conditions_override_jit(
+    vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+):
+    return _prepare_conditions_core(
+        vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
+        noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+    )
 
 
 def _denoise_loop(

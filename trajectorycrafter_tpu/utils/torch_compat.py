@@ -33,3 +33,37 @@ def reference_initial_latents(
     returned channel-last (B, F, h, w, C)."""
     bcfhw = torch_randn((batch, latent_frames, channels, h, w), seed)
     return np.moveaxis(bcfhw, 2, -1)
+
+
+def reference_condition_noise(
+    batch: int,
+    ref_latent_frames: int,
+    latent_channels: int,
+    latent_h: int,
+    latent_w: int,
+    frames: int,
+    height: int,
+    width: int,
+    seed: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference pipeline's *global*-RNG draws at ``torch.manual_seed(seed)``,
+    in draw order (pipeline_trajectorycrafter.py):
+
+      1. ref-clip posterior noise -- ``DiagonalGaussianDistribution.sample()``
+         with no generator, one (1, C, Fr', h, w) draw per batch element
+         (the bs=1 encode loop at :883-887);
+      2. noise-aug gaussian -- ``torch.randn_like(masked_image)`` of shape
+         (B, 3, F, H, W) inside add_noise_to_reference_video (:163-176).
+
+    Returns (ref_noise (B, Fr', h, w, C), aug_noise (B, F, H, W, 3)), i.e.
+    channel-last for TrajCrafterPipeline's ``noise_override`` hook."""
+    import torch
+
+    torch.manual_seed(seed)
+    refs = [
+        torch.randn((1, latent_channels, ref_latent_frames, latent_h, latent_w))
+        for _ in range(batch)
+    ]
+    ref = torch.cat(refs, dim=0).numpy()
+    aug = torch.randn((batch, 3, frames, height, width)).numpy()
+    return np.moveaxis(ref, 1, -1), np.moveaxis(aug, 1, -1)
