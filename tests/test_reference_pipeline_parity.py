@@ -126,8 +126,7 @@ def inputs():
 
 
 @pytest.fixture(scope="module")
-def ref_run(ref_stack, inputs):
-    """Run the reference pipeline end-to-end; returns models + final latents."""
+def ref_models(ref_stack):
     import torch
 
     torch.manual_seed(0)
@@ -136,12 +135,19 @@ def ref_run(ref_stack, inputs):
     torch.manual_seed(1)
     ref_dit = ref_stack.dit.CrossTransformer3DModel(**DIT_TINY)
     ref_dit.eval()
+    return types.SimpleNamespace(vae=ref_vae, dit=ref_dit)
+
+
+def _run_reference(ref_stack, ref_models, inputs, strength):
+    """Run the reference pipeline end-to-end -> final latents (B, F', C, h, w)."""
+    import torch
+
     from diffusers.schedulers import CogVideoXDDIMScheduler  # the shim
 
     scheduler = CogVideoXDDIMScheduler(**SCHED_CFG)
     pipe = ref_stack.pipe.TrajCrafter_Pipeline(
-        tokenizer=None, text_encoder=None, vae=ref_vae, transformer=ref_dit,
-        scheduler=scheduler,
+        tokenizer=None, text_encoder=None, vae=ref_models.vae,
+        transformer=ref_models.dit, scheduler=scheduler,
     )
 
     torch.manual_seed(GLOBAL_SEED)
@@ -158,18 +164,17 @@ def ref_run(ref_stack, inputs):
             num_frames=F,
             num_inference_steps=STEPS,
             guidance_scale=GUIDANCE,
+            strength=strength,
             generator=generator,
             prompt_embeds=torch.from_numpy(inputs.prompt),
             negative_prompt_embeds=torch.from_numpy(inputs.negative),
             output_type="latent",
             return_dict=True,
         ).videos
-    return types.SimpleNamespace(
-        vae=ref_vae, dit=ref_dit, latents=out.numpy()  # (B, F', C, h, w)
-    )
+    return out.numpy()
 
 
-def _our_pipeline(ref_run):
+def _our_pipeline(ref_models):
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
     from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
     from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
@@ -183,7 +188,7 @@ def _our_pipeline(ref_run):
         norm_num_groups=VAE_TINY["norm_num_groups"],
     )
     vae_params = convert_vae(
-        {k: v.numpy() for k, v in ref_run.vae.state_dict().items()},
+        {k: v.numpy() for k, v in ref_models.vae.state_dict().items()},
         layers_per_block=VAE_TINY["layers_per_block"],
     )
     dit = CrossTransformer3DModel(
@@ -205,7 +210,7 @@ def _our_pipeline(ref_run):
         attention_impl="xla",
     )
     dit_params = convert_dit(
-        {k: v.numpy() for k, v in ref_run.dit.state_dict().items()},
+        {k: v.numpy() for k, v in ref_models.dit.state_dict().items()},
         num_layers=DIT_TINY["num_layers"],
         cross_attn_interval=DIT_TINY["cross_attn_interval"],
     )
@@ -216,17 +221,24 @@ def _our_pipeline(ref_run):
     )
 
 
-def test_full_pipeline_fixed_seed_parity(ref_run, inputs):
-    """Our jitted sampling chain reproduces the reference's final latents."""
+@pytest.mark.parametrize("strength", [1.0, 0.6])
+def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs, strength):
+    """Our jitted sampling chain reproduces the reference's final latents
+    (strength=1: pure-noise init; strength=0.6: img2img init from the
+    VAE-encoded warped video + truncated timesteps)."""
     from trajectorycrafter_tpu.utils import torch_compat
 
-    pipeline = _our_pipeline(ref_run)
+    ref_latents = _run_reference(ref_stack, ref_models, inputs, strength)
+
+    pipeline = _our_pipeline(ref_models)
+    f_lat = (F - 1) // 4 + 1
     init_latents = torch_compat.reference_initial_latents(
-        1, (F - 1) // 4 + 1, VAE_TINY["latent_channels"], H // 8, W // 8, GEN_SEED
+        1, f_lat, VAE_TINY["latent_channels"], H // 8, W // 8, GEN_SEED
     )
-    ref_noise, aug_noise = torch_compat.reference_condition_noise(
+    noise_override = torch_compat.reference_condition_noise(
         1, (F_REF - 1) // 4 + 1, VAE_TINY["latent_channels"], H // 8, W // 8,
         F, H, W, GLOBAL_SEED,
+        video_latent_frames=None if strength >= 1.0 else f_lat,
     )
 
     ours = pipeline(
@@ -237,11 +249,12 @@ def test_full_pipeline_fixed_seed_parity(ref_run, inputs):
         reference=jnp.asarray(np.moveaxis(inputs.ref_clip, 1, -1)),
         num_inference_steps=STEPS,
         guidance_scale=GUIDANCE,
+        strength=strength,
         latents=jnp.asarray(init_latents),
-        noise_override=(ref_noise, aug_noise),
+        noise_override=noise_override,
         output_type="latent",
     )
     np.testing.assert_allclose(
-        np.moveaxis(np.asarray(ours), -1, 2), ref_run.latents,
+        np.moveaxis(np.asarray(ours), -1, 2), ref_latents,
         atol=3e-4, rtol=1e-4,
     )

@@ -133,7 +133,9 @@ class TrajCrafterPipeline:
                 self.transformer.add_noise_in_inpaint_model,
                 self.vae.scaling_factor, self.dtype,
             )
-        ref_noise, aug_noise = noise_override
+        # 2-tuple (ref, aug) or 3-tuple (ref, video, aug) in the reference's
+        # global-RNG draw order; the middle draw feeds the strength<1 path
+        ref_noise, aug_noise = noise_override[0], noise_override[-1]
         return _prepare_conditions_override_jit(
             self.vae, resolve(self.vae_params), video, mask_video, reference,
             jnp.asarray(ref_noise, jnp.float32), jnp.asarray(aug_noise, jnp.float32),
@@ -154,15 +156,26 @@ class TrajCrafterPipeline:
         use_dynamic_cfg: bool = False,
         key: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
+        strength: float = 1.0,
         noise_aug_strength: float = 0.0563,
         output_type: str = "np",
         steps_per_dispatch: int = 5,
         noise_override: Optional[Tuple] = None,
     ):
-        """Full sampling run; returns (B, F, H, W, 3) video in [0, 1]."""
+        """Full sampling run; returns (B, F, H, W, 3) video in [0, 1].
+
+        ``strength`` < 1 is the reference's img2img mode (pipeline:383-457,
+        664-672): the first ``N - int(N * strength)`` denoise steps are
+        skipped and the initial latents are the VAE-encoded warped video
+        noised to the first kept timestep.  ``latents``, when given, plays
+        the role of the initial *noise* draw (as in the reference's
+        ``prepare_latents``).
+        """
+        from trajectorycrafter_tpu.utils.offload import release, resolve
+
         if key is None:
             key = jax.random.PRNGKey(0)
-        key_cond, key_noise = jax.random.split(key)
+        key_cond, key_noise, key_vid = jax.random.split(key, 3)
 
         b, f, h, w, _ = video.shape
         f_lat = (f - 1) // self.vae_scale_factor_temporal + 1
@@ -181,7 +194,36 @@ class TrajCrafterPipeline:
 
         do_cfg = guidance_scale > 1.0
         state = self.scheduler.set_timesteps(num_inference_steps)
-        latents = latents * state.init_noise_sigma
+
+        # img2img timestep truncation (reference get_timesteps, pipeline:664-672)
+        init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+        t_start = max(num_inference_steps - init_timestep, 0)
+        if t_start == 0:
+            latents = latents * state.init_noise_sigma
+        else:
+            if isinstance(self.scheduler, PNDMScheduler):
+                raise NotImplementedError(
+                    "strength < 1 is not supported with the PNDM sampler "
+                    "(its PRK warmup is incompatible with timestep skipping)"
+                )
+            vid_noise = None
+            if noise_override is not None and len(noise_override) == 3:
+                vid_noise = jnp.asarray(noise_override[1], jnp.float32)
+            with self._mesh_ctx():
+                if vid_noise is None:
+                    video_latents = _encode_video_latents_jit(
+                        self.vae, resolve(self.vae_params), video, key_vid,
+                        self.vae.scaling_factor, self.dtype,
+                    )
+                else:
+                    video_latents = _encode_video_latents_override_jit(
+                        self.vae, resolve(self.vae_params), video, vid_noise,
+                        self.vae.scaling_factor, self.dtype,
+                    )
+            latents = self.scheduler.add_noise(
+                state, video_latents.astype(jnp.float32), latents,
+                state.timesteps[t_start],
+            )
 
         rope = None
         if self.transformer.use_rotary_positional_embeddings:
@@ -206,8 +248,6 @@ class TrajCrafterPipeline:
         inpaint_in = self._put_cfg_batch(inpaint_in.astype(self.dtype))
         ref_in = self._put_cfg_batch(ref_in.astype(self.dtype))
 
-        from trajectorycrafter_tpu.utils.offload import release, resolve
-
         with self._mesh_ctx():
             latents = _denoise_loop(
                 self.transformer, resolve(self.transformer_params),
@@ -215,6 +255,7 @@ class TrajCrafterPipeline:
                 latents, text, inpaint_in, ref_in, rope, num_inference_steps,
                 float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
                 steps_per_dispatch=int(steps_per_dispatch),
+                start_index=t_start,
             )
             # stage offload: drop the 12.2 GB DiT device copy before decode
             # so the decoder's up-block activations fit beside it
@@ -301,16 +342,44 @@ def _prepare_conditions_override_jit(
     )
 
 
+def _encode_video_latents_core(vae, vae_params, video, noise, scaling_factor,
+                               dtype):
+    """img2img init: VAE-encode the warped video, posterior-sample (reference
+    prepare_latents, pipeline:414-427); channel-last (B, F', h, w, C)."""
+    init_video = video.astype(jnp.float32) * 2.0 - 1.0
+    moments = vae_encode(vae, vae_params, init_video.astype(dtype))
+    return sample_posterior(moments.astype(jnp.float32), None,
+                            vae.latent_channels, noise=noise) * scaling_factor
+
+
+@partial(jax.jit, static_argnames=("vae", "dtype"))
+def _encode_video_latents_jit(vae, vae_params, video, key, scaling_factor, dtype):
+    b, f = video.shape[:2]
+    shape = (b, (f - 1) // 4 + 1, video.shape[2] // 8, video.shape[3] // 8,
+             vae.latent_channels)
+    noise = jax.random.normal(key, shape, jnp.float32)
+    return _encode_video_latents_core(vae, vae_params, video, noise,
+                                      scaling_factor, dtype)
+
+
+@partial(jax.jit, static_argnames=("vae", "dtype"))
+def _encode_video_latents_override_jit(vae, vae_params, video, noise,
+                                       scaling_factor, dtype):
+    return _encode_video_latents_core(vae, vae_params, video, noise,
+                                      scaling_factor, dtype)
+
+
 def _denoise_loop(
     transformer, params, scheduler, state, latents, text, inpaint, ref, rope,
     num_steps, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
-    steps_per_dispatch=5,
+    steps_per_dispatch=5, start_index=0,
 ):
     """Run the sampling loop as ceil(loop_steps / steps_per_dispatch) XLA
     executions.  Every full-size chunk reuses ONE compiled program (the
     start index ``i0`` is a dynamic operand); a shorter final chunk (only
     when steps_per_dispatch doesn't divide the step count) compiles once
-    more.  ``steps_per_dispatch <= 0`` means a single monolithic dispatch."""
+    more.  ``steps_per_dispatch <= 0`` means a single monolithic dispatch.
+    ``start_index`` > 0 skips the first steps (img2img strength)."""
     is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
     is_pndm = isinstance(scheduler, PNDMScheduler)
     loop_steps = scheduler.num_loop_steps(num_steps) if is_pndm else num_steps
@@ -324,7 +393,7 @@ def _denoise_loop(
         carry = (latents,)
 
     spd = steps_per_dispatch if steps_per_dispatch > 0 else loop_steps
-    i0 = 0
+    i0 = int(start_index)
     while i0 < loop_steps:
         chunk = min(spd, loop_steps - i0)
         carry = _denoise_chunk_jit(

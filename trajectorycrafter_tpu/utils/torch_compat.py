@@ -45,18 +45,22 @@ def reference_condition_noise(
     height: int,
     width: int,
     seed: int,
-) -> Tuple[np.ndarray, np.ndarray]:
+    video_latent_frames: int | None = None,
+) -> Tuple[np.ndarray, ...]:
     """The reference pipeline's *global*-RNG draws at ``torch.manual_seed(seed)``,
     in draw order (pipeline_trajectorycrafter.py):
 
       1. ref-clip posterior noise -- ``DiagonalGaussianDistribution.sample()``
          with no generator, one (1, C, Fr', h, w) draw per batch element
          (the bs=1 encode loop at :883-887);
-      2. noise-aug gaussian -- ``torch.randn_like(masked_image)`` of shape
+      2. (strength < 1 only) warped-video posterior noise -- the
+         prepare_latents encode loop (:414-421), one (1, C, F', h, w) draw
+         per batch element; request it with ``video_latent_frames``;
+      3. noise-aug gaussian -- ``torch.randn_like(masked_image)`` of shape
          (B, 3, F, H, W) inside add_noise_to_reference_video (:163-176).
 
-    Returns (ref_noise (B, Fr', h, w, C), aug_noise (B, F, H, W, 3)), i.e.
-    channel-last for TrajCrafterPipeline's ``noise_override`` hook."""
+    Returns channel-last arrays for TrajCrafterPipeline's ``noise_override``
+    hook: (ref_noise, aug_noise) or (ref_noise, vid_noise, aug_noise)."""
     import torch
 
     torch.manual_seed(seed)
@@ -65,5 +69,16 @@ def reference_condition_noise(
         for _ in range(batch)
     ]
     ref = torch.cat(refs, dim=0).numpy()
+    vid = None
+    if video_latent_frames is not None:
+        vids = [
+            torch.randn((1, latent_channels, video_latent_frames, latent_h,
+                         latent_w))
+            for _ in range(batch)
+        ]
+        vid = torch.cat(vids, dim=0).numpy()
     aug = torch.randn((batch, 3, frames, height, width)).numpy()
-    return np.moveaxis(ref, 1, -1), np.moveaxis(aug, 1, -1)
+    if vid is None:
+        return np.moveaxis(ref, 1, -1), np.moveaxis(aug, 1, -1)
+    return (np.moveaxis(ref, 1, -1), np.moveaxis(vid, 1, -1),
+            np.moveaxis(aug, 1, -1))
