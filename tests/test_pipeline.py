@@ -149,3 +149,48 @@ def test_latent_output(tiny_pipeline, rng):
     lat = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
                         key=jax.random.PRNGKey(0), output_type="latent")
     assert lat.shape == (1, 3, 4, 6, LC)
+
+
+def test_strength_truncates_and_inits_from_video(tiny_pipeline, rng):
+    """img2img strength: fewer denoise steps, video-latent init; PNDM raises."""
+    import dataclasses
+
+    video, mask, reference, pe, ne = _inputs(rng)
+    kwargs = dict(num_inference_steps=4, guidance_scale=6.0,
+                  key=jax.random.PRNGKey(9), output_type="latent")
+    full = np.asarray(tiny_pipeline(pe, ne, video, mask, reference,
+                                    strength=1.0, **kwargs))
+    partial = np.asarray(tiny_pipeline(pe, ne, video, mask, reference,
+                                       strength=0.5, **kwargs))
+    assert partial.shape == full.shape
+    assert np.all(np.isfinite(partial))
+    assert np.abs(partial - full).max() > 1e-4  # genuinely different path
+
+    pndm = dataclasses.replace(
+        tiny_pipeline, scheduler=PNDMScheduler(prediction_type="v_prediction"))
+    with pytest.raises(NotImplementedError):
+        pndm(pe, ne, video, mask, reference, strength=0.5, **kwargs)
+
+
+def test_full_pipeline_int8_tracks_fp32(tiny_pipeline, rng):
+    """quant="int8" end-to-end sampling stays close to the fp32 chain (the
+    opt-in --quant int8 deployment; per-GEMM bounds in test_int8_dense)."""
+    import dataclasses
+
+    from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+    video, mask, reference, pe, ne = _inputs(rng)
+    kwargs = dict(num_inference_steps=4, guidance_scale=6.0,
+                  key=jax.random.PRNGKey(7), output_type="latent")
+    want = np.asarray(tiny_pipeline(pe, ne, video, mask, reference, **kwargs))
+
+    pipe8 = dataclasses.replace(
+        tiny_pipeline,
+        transformer=tiny_pipeline.transformer.clone(quant="int8"),
+        transformer_params=quantize_dit_params(tiny_pipeline.transformer_params),
+    )
+    got = np.asarray(pipe8(pe, ne, video, mask, reference, **kwargs))
+    assert np.all(np.isfinite(got))
+    cos = float((got * want).sum()
+                / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12))
+    assert cos > 0.99, f"int8 sampling diverged from fp32: cosine {cos}"
