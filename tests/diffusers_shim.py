@@ -709,10 +709,11 @@ def _rescale_zero_terminal_snr_abar(alphas_cumprod):
 
 class CogVideoXDDIMScheduler(ConfigMixin):
     """Transcription of diffusers' CogVideoXDDIMScheduler (the reference's
-    default 'DDIM_Cog' sampler, demo.py:647-657): DDIM with the SNR-shifted
+    'DDIM_Cog' sampler, demo.py:647-657): DDIM with the SNR-shifted
     alphas_cumprod and optional zero-terminal-SNR rescale."""
 
     order = 1
+    _apply_snr_shift = True
 
     @register_to_config
     def __init__(
@@ -748,10 +749,10 @@ class CogVideoXDDIMScheduler(ConfigMixin):
             raise NotImplementedError(beta_schedule)
         self.alphas = 1.0 - self.betas
         self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
-        # SNR shift (CogVideoX)
-        self.alphas_cumprod = self.alphas_cumprod / (
-            snr_shift_scale + (1 - snr_shift_scale) * self.alphas_cumprod
-        )
+        if self._apply_snr_shift:  # SNR shift (CogVideoX)
+            self.alphas_cumprod = self.alphas_cumprod / (
+                snr_shift_scale + (1 - snr_shift_scale) * self.alphas_cumprod
+            )
         if rescale_betas_zero_snr:
             self.alphas_cumprod = _rescale_zero_terminal_snr_abar(self.alphas_cumprod)
         self.final_alpha_cumprod = (
@@ -901,6 +902,16 @@ class CogVideoXDDIMScheduler(ConfigMixin):
         )
 
 
+class DDIMScheduler(CogVideoXDDIMScheduler):
+    """Plain diffusers DDIMScheduler -- the reference CLI's DEFAULT sampler
+    ('DDIM_Origin', inference.py:85-90): identical DDIM math but NO SNR
+    shift.  (scheduling_ddim.py's rescale_zero_terminal_snr operates on
+    betas, but the reconstructed alphas_cumprod equals the sqrt-shift on
+    alphas_cumprod exactly, so the base implementation carries over.)"""
+
+    _apply_snr_shift = False
+
+
 class CogVideoXDPMScheduler(ConfigMixin):
     """Marker only: the pipeline's isinstance branch for the two-return-value
     DPM step.  Not exercised by the parity tests (DDIM is the deployed
@@ -1013,6 +1024,7 @@ def install():
             DiffusionPipeline=DiffusionPipeline),
         "diffusers.schedulers": _module(
             "diffusers.schedulers",
+            DDIMScheduler=DDIMScheduler,
             CogVideoXDDIMScheduler=CogVideoXDDIMScheduler,
             CogVideoXDPMScheduler=CogVideoXDPMScheduler),
         "diffusers.video_processor": _module(

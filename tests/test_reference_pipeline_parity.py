@@ -138,13 +138,15 @@ def ref_models(ref_stack):
     return types.SimpleNamespace(vae=ref_vae, dit=ref_dit)
 
 
-def _run_reference(ref_stack, ref_models, inputs, strength):
+def _run_reference(ref_stack, ref_models, inputs, strength, sampler="DDIM_Cog"):
     """Run the reference pipeline end-to-end -> final latents (B, F', C, h, w)."""
     import torch
 
-    from diffusers.schedulers import CogVideoXDDIMScheduler  # the shim
+    import diffusers.schedulers as shim_schedulers  # the shim
 
-    scheduler = CogVideoXDDIMScheduler(**SCHED_CFG)
+    sched_cls = {"DDIM_Cog": shim_schedulers.CogVideoXDDIMScheduler,
+                 "DDIM_Origin": shim_schedulers.DDIMScheduler}[sampler]
+    scheduler = sched_cls(**SCHED_CFG)
     pipe = ref_stack.pipe.TrajCrafter_Pipeline(
         tokenizer=None, text_encoder=None, vae=ref_models.vae,
         transformer=ref_models.dit, scheduler=scheduler,
@@ -174,12 +176,18 @@ def _run_reference(ref_stack, ref_models, inputs, strength):
     return out.numpy()
 
 
-def _our_pipeline(ref_models):
+def _our_pipeline(ref_models, sampler="DDIM_Cog"):
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
     from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
     from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
-    from trajectorycrafter_tpu.schedulers.ddim import CogVideoXDDIMScheduler
+    from trajectorycrafter_tpu.schedulers.ddim import (
+        CogVideoXDDIMScheduler,
+        DDIMScheduler,
+    )
     from trajectorycrafter_tpu.utils.convert import convert_dit, convert_vae
+
+    our_sched = {"DDIM_Cog": CogVideoXDDIMScheduler,
+                 "DDIM_Origin": DDIMScheduler}[sampler]()
 
     vae = AutoencoderKLCogVideoX(
         latent_channels=VAE_TINY["latent_channels"],
@@ -216,21 +224,27 @@ def _our_pipeline(ref_models):
     )
     return TrajCrafterPipeline(
         vae=vae, vae_params=vae_params, transformer=dit,
-        transformer_params=dit_params, scheduler=CogVideoXDDIMScheduler(),
+        transformer_params=dit_params, scheduler=our_sched,
         dtype=jnp.float32,
     )
 
 
-@pytest.mark.parametrize("strength", [1.0, 0.6])
-def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs, strength):
+@pytest.mark.parametrize(
+    "sampler,strength",
+    [("DDIM_Cog", 1.0), ("DDIM_Cog", 0.6), ("DDIM_Origin", 1.0)],
+)
+def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
+                                         sampler, strength):
     """Our jitted sampling chain reproduces the reference's final latents
     (strength=1: pure-noise init; strength=0.6: img2img init from the
-    VAE-encoded warped video + truncated timesteps)."""
+    VAE-encoded warped video + truncated timesteps; DDIM_Origin is the
+    reference CLI's default sampler, DDIM_Cog the SNR-shifted variant)."""
     from trajectorycrafter_tpu.utils import torch_compat
 
-    ref_latents = _run_reference(ref_stack, ref_models, inputs, strength)
+    ref_latents = _run_reference(ref_stack, ref_models, inputs, strength,
+                                 sampler)
 
-    pipeline = _our_pipeline(ref_models)
+    pipeline = _our_pipeline(ref_models, sampler)
     f_lat = (F - 1) // 4 + 1
     init_latents = torch_compat.reference_initial_latents(
         1, f_lat, VAE_TINY["latent_channels"], H // 8, W // 8, GEN_SEED
