@@ -912,6 +912,167 @@ class DDIMScheduler(CogVideoXDDIMScheduler):
     _apply_snr_shift = False
 
 
+def _rescale_zero_terminal_snr_betas(betas):
+    """Betas-space zero-terminal-SNR rescale (scheduling_euler_discrete /
+    scheduling_ddim rescale_zero_terminal_snr): shift sqrt(abar), then
+    reconstruct betas."""
+    alphas = 1.0 - betas
+    alphas_cumprod = torch.cumprod(alphas, dim=0)
+    alphas_bar_sqrt = alphas_cumprod.sqrt()
+    alphas_bar_sqrt_0 = alphas_bar_sqrt[0].clone()
+    alphas_bar_sqrt_T = alphas_bar_sqrt[-1].clone()
+    alphas_bar_sqrt -= alphas_bar_sqrt_T
+    alphas_bar_sqrt *= alphas_bar_sqrt_0 / (alphas_bar_sqrt_0 - alphas_bar_sqrt_T)
+    alphas_bar = alphas_bar_sqrt**2
+    alphas = alphas_bar[1:] / alphas_bar[:-1]
+    alphas = torch.cat([alphas_bar[0:1], alphas])
+    return 1 - alphas
+
+
+class EulerDiscreteScheduler(ConfigMixin):
+    """Transcription of diffusers' EulerDiscreteScheduler, deterministic
+    subset the reference's 'Euler' menu entry reaches (demo.py:648 with the
+    checkpoint scheduler config): discrete timestep type, linear sigma
+    interpolation, no karras, s_churn 0, final sigma zero."""
+
+    order = 1
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        beta_schedule: str = "linear",
+        trained_betas=None,
+        prediction_type: str = "epsilon",
+        interpolation_type: str = "linear",
+        use_karras_sigmas: bool = False,
+        timestep_spacing: str = "linspace",
+        steps_offset: int = 0,
+        rescale_betas_zero_snr: bool = False,
+    ):
+        if beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        elif beta_schedule == "scaled_linear":
+            betas = (
+                torch.linspace(beta_start**0.5, beta_end**0.5,
+                               num_train_timesteps, dtype=torch.float32) ** 2
+            )
+        else:
+            raise NotImplementedError(beta_schedule)
+        if rescale_betas_zero_snr:
+            betas = _rescale_zero_terminal_snr_betas(betas)
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        if rescale_betas_zero_snr:
+            # close to 0 without being 0 so the first sigma is not inf
+            self.alphas_cumprod[-1] = 2**-24
+
+        sigmas = (((1 - self.alphas_cumprod) / self.alphas_cumprod) ** 0.5).flip(0)
+        self.sigmas = torch.cat([sigmas, torch.zeros(1)])
+        self.timesteps = torch.from_numpy(
+            np.linspace(0, num_train_timesteps - 1, num_train_timesteps,
+                        dtype=float)[::-1].copy()
+        )
+        self.num_inference_steps = None
+        self._step_index = None
+        self.is_scale_input_called = False
+
+    @property
+    def init_noise_sigma(self):
+        max_sigma = max(self.sigmas)
+        if self.config.timestep_spacing in ("linspace", "trailing"):
+            return max_sigma
+        return (max_sigma**2 + 1) ** 0.5
+
+    @property
+    def step_index(self):
+        return self._step_index
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        self.num_inference_steps = num_inference_steps
+        if self.config.timestep_spacing == "linspace":
+            timesteps = np.linspace(
+                0, self.config.num_train_timesteps - 1, num_inference_steps,
+                dtype=np.float32)[::-1].copy()
+        elif self.config.timestep_spacing == "leading":
+            step_ratio = self.config.num_train_timesteps // num_inference_steps
+            timesteps = (
+                (np.arange(0, num_inference_steps) * step_ratio)
+                .round()[::-1].copy().astype(np.float32)
+            )
+            timesteps += self.config.steps_offset
+        elif self.config.timestep_spacing == "trailing":
+            step_ratio = self.config.num_train_timesteps / num_inference_steps
+            timesteps = (
+                np.arange(self.config.num_train_timesteps, 0, -step_ratio)
+                .round().copy().astype(np.float32)
+            )
+            timesteps -= 1
+        else:
+            raise ValueError(self.config.timestep_spacing)
+
+        sigmas = np.array(
+            ((1 - self.alphas_cumprod.numpy()) / self.alphas_cumprod.numpy())
+            ** 0.5)
+        sigmas = np.interp(timesteps, np.arange(0, len(sigmas)), sigmas)
+        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        self.sigmas = torch.from_numpy(sigmas).to(device)
+        self.timesteps = torch.from_numpy(timesteps).to(device)
+        self._step_index = None
+
+    def _init_step_index(self, timestep):
+        indices = (self.timesteps == timestep).nonzero()
+        pos = 1 if len(indices) > 1 else 0
+        self._step_index = int(indices[pos].item())
+
+    def scale_model_input(self, sample, timestep=None):
+        if self._step_index is None:
+            self._init_step_index(timestep)
+        sigma = self.sigmas[self._step_index]
+        self.is_scale_input_called = True
+        return sample / ((sigma**2 + 1) ** 0.5)
+
+    def step(self, model_output, timestep, sample, s_churn: float = 0.0,
+             s_tmin: float = 0.0, s_tmax: float = float("inf"),
+             s_noise: float = 1.0, generator=None, return_dict: bool = True):
+        if self._step_index is None:
+            self._init_step_index(timestep)
+        sigma = self.sigmas[self._step_index]
+        gamma = (
+            min(s_churn / (len(self.sigmas) - 1), 2**0.5 - 1)
+            if s_tmin <= sigma <= s_tmax else 0.0
+        )
+        sigma_hat = sigma * (gamma + 1)
+        if gamma > 0:
+            noise = randn_tensor(model_output.shape, generator=generator,
+                                 device=model_output.device,
+                                 dtype=model_output.dtype)
+            eps = noise * s_noise
+            sample = sample + eps * (sigma_hat**2 - sigma**2) ** 0.5
+
+        if self.config.prediction_type == "epsilon":
+            pred_original_sample = sample - sigma_hat * model_output
+        elif self.config.prediction_type == "v_prediction":
+            pred_original_sample = model_output * (
+                -sigma / (sigma**2 + 1) ** 0.5) + (sample / (sigma**2 + 1))
+        elif self.config.prediction_type == "sample":
+            pred_original_sample = model_output
+        else:
+            raise ValueError(self.config.prediction_type)
+
+        derivative = (sample - pred_original_sample) / sigma_hat
+        dt = self.sigmas[self._step_index + 1] - sigma_hat
+        prev_sample = sample + derivative * dt
+        self._step_index += 1
+        if not return_dict:
+            return (prev_sample,)
+        return types.SimpleNamespace(prev_sample=prev_sample,
+                                     pred_original_sample=pred_original_sample)
+
+
 class CogVideoXDPMScheduler(ConfigMixin):
     """Marker only: the pipeline's isinstance branch for the two-return-value
     DPM step.  Not exercised by the parity tests (DDIM is the deployed
@@ -1025,6 +1186,7 @@ def install():
         "diffusers.schedulers": _module(
             "diffusers.schedulers",
             DDIMScheduler=DDIMScheduler,
+            EulerDiscreteScheduler=EulerDiscreteScheduler,
             CogVideoXDDIMScheduler=CogVideoXDDIMScheduler,
             CogVideoXDPMScheduler=CogVideoXDPMScheduler),
         "diffusers.video_processor": _module(

@@ -13,8 +13,10 @@ from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
 from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
 from trajectorycrafter_tpu.pipelines import TrajCrafterPipeline
 from trajectorycrafter_tpu.schedulers import (
+    SCHEDULER_REGISTRY,
     CogVideoXDPMScheduler,
     DDIMScheduler,
+    EulerAncestralDiscreteScheduler,
     EulerDiscreteScheduler,
     PNDMScheduler,
 )
@@ -108,6 +110,7 @@ def test_pipeline_seed_determinism(tiny_pipeline, rng):
         (CogVideoXDPMScheduler, {}),
         (PNDMScheduler, {"prediction_type": "v_prediction"}),
         (EulerDiscreteScheduler, {"timestep_spacing": "trailing"}),
+        (EulerAncestralDiscreteScheduler, {"timestep_spacing": "trailing"}),
     ],
 )
 def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
@@ -128,6 +131,7 @@ def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
         (CogVideoXDPMScheduler, {}),
         (PNDMScheduler, {"prediction_type": "v_prediction"}),
         (EulerDiscreteScheduler, {"timestep_spacing": "trailing"}),
+        (EulerAncestralDiscreteScheduler, {"timestep_spacing": "trailing"}),
     ],
 )
 def test_chunked_dispatch_matches_monolithic(tiny_pipeline, rng, sch_cls, kw):
@@ -170,6 +174,37 @@ def test_strength_truncates_and_inits_from_video(tiny_pipeline, rng):
         tiny_pipeline, scheduler=PNDMScheduler(prediction_type="v_prediction"))
     with pytest.raises(NotImplementedError):
         pndm(pe, ne, video, mask, reference, strength=0.5, **kwargs)
+
+
+def test_registry_samplers_run_end_to_end(tiny_pipeline, rng):
+    """Every CLI sampler-menu entry (reference inference.py:87) drives the
+    full pipeline through the deployed registry factories."""
+    import dataclasses
+
+    video, mask, reference, pe, ne = _inputs(rng)
+    for name, factory in SCHEDULER_REGISTRY.items():
+        pipe = dataclasses.replace(tiny_pipeline, scheduler=factory())
+        out = np.asarray(pipe(pe, ne, video, mask, reference,
+                              num_inference_steps=3, guidance_scale=6.0,
+                              key=jax.random.PRNGKey(43)))
+        assert out.shape == (1, 9, 32, 48, 3), name
+        assert np.all(np.isfinite(out)), name
+
+
+def test_euler_strength_truncation(tiny_pipeline, rng):
+    """img2img strength with the Euler sampler: the sigma-space add_noise
+    leg (timestep-valued) produces a finite, distinct trajectory."""
+    import dataclasses
+
+    pipe = dataclasses.replace(tiny_pipeline,
+                               scheduler=SCHEDULER_REGISTRY["Euler"]())
+    video, mask, reference, pe, ne = _inputs(rng)
+    kwargs = dict(num_inference_steps=4, guidance_scale=6.0,
+                  key=jax.random.PRNGKey(9), output_type="latent")
+    full = np.asarray(pipe(pe, ne, video, mask, reference, strength=1.0, **kwargs))
+    part = np.asarray(pipe(pe, ne, video, mask, reference, strength=0.5, **kwargs))
+    assert np.all(np.isfinite(part))
+    assert np.abs(part - full).max() > 1e-4
 
 
 def test_full_pipeline_int8_tracks_fp32(tiny_pipeline, rng):

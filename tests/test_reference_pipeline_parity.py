@@ -86,6 +86,17 @@ SCHED_CFG = dict(  # CogVideoX-Fun scheduler config (reference demo.py:647-657)
     rescale_betas_zero_snr=True,
     snr_shift_scale=3.0,
 )
+# the subset of the checkpoint config EulerDiscreteScheduler.from_pretrained
+# applies (unknown keys like snr_shift_scale are dropped by diffusers)
+EULER_CFG = dict(
+    beta_start=0.00085,
+    beta_end=0.012,
+    beta_schedule="scaled_linear",
+    prediction_type="v_prediction",
+    timestep_spacing="trailing",
+    steps_offset=0,
+    rescale_betas_zero_snr=True,
+)
 
 
 @pytest.fixture(scope="module")
@@ -144,9 +155,12 @@ def _run_reference(ref_stack, ref_models, inputs, strength, sampler="DDIM_Cog"):
 
     import diffusers.schedulers as shim_schedulers  # the shim
 
-    sched_cls = {"DDIM_Cog": shim_schedulers.CogVideoXDDIMScheduler,
-                 "DDIM_Origin": shim_schedulers.DDIMScheduler}[sampler]
-    scheduler = sched_cls(**SCHED_CFG)
+    if sampler == "Euler":
+        scheduler = shim_schedulers.EulerDiscreteScheduler(**EULER_CFG)
+    else:
+        sched_cls = {"DDIM_Cog": shim_schedulers.CogVideoXDDIMScheduler,
+                     "DDIM_Origin": shim_schedulers.DDIMScheduler}[sampler]
+        scheduler = sched_cls(**SCHED_CFG)
     pipe = ref_stack.pipe.TrajCrafter_Pipeline(
         tokenizer=None, text_encoder=None, vae=ref_models.vae,
         transformer=ref_models.dit, scheduler=scheduler,
@@ -180,14 +194,10 @@ def _our_pipeline(ref_models, sampler="DDIM_Cog"):
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
     from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
     from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
-    from trajectorycrafter_tpu.schedulers.ddim import (
-        CogVideoXDDIMScheduler,
-        DDIMScheduler,
-    )
+    from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
     from trajectorycrafter_tpu.utils.convert import convert_dit, convert_vae
 
-    our_sched = {"DDIM_Cog": CogVideoXDDIMScheduler,
-                 "DDIM_Origin": DDIMScheduler}[sampler]()
+    our_sched = SCHEDULER_REGISTRY[sampler]()
 
     vae = AutoencoderKLCogVideoX(
         latent_channels=VAE_TINY["latent_channels"],
@@ -231,7 +241,8 @@ def _our_pipeline(ref_models, sampler="DDIM_Cog"):
 
 @pytest.mark.parametrize(
     "sampler,strength",
-    [("DDIM_Cog", 1.0), ("DDIM_Cog", 0.6), ("DDIM_Origin", 1.0)],
+    [("DDIM_Cog", 1.0), ("DDIM_Cog", 0.6), ("DDIM_Origin", 1.0),
+     ("Euler", 1.0)],
 )
 def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
                                          sampler, strength):

@@ -113,6 +113,30 @@ def test_euler_oracle_recovers_x0(rng):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
 
 
+def test_euler_add_noise_timestep_valued(rng):
+    """Euler add_noise takes model-facing timesteps (like DDIM/DPM/PNDM):
+    at an in-schedule timestep it must equal x0 + state.sigmas[step]*n."""
+    sch = EulerDiscreteScheduler(prediction_type="epsilon", timestep_spacing="trailing")
+    state = sch.set_timesteps(10)
+    x0 = jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32))
+    n = jnp.asarray(rng.standard_normal((2, 3)).astype(np.float32))
+    for step in (0, 4):
+        got = sch.add_noise(state, x0, n, state.timesteps[step])
+        want = x0 + state.sigmas[step] * n
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    # continuous (SVD/DepthCrafter) timestep type: t = 0.25*log(sigma)
+    svd = EulerDiscreteScheduler(
+        prediction_type="v_prediction", timestep_type="continuous",
+        use_karras_sigmas=True, sigma_min=0.002, sigma_max=700.0,
+        timestep_spacing="leading",
+    )
+    st = svd.set_timesteps(5)
+    got = svd.add_noise(st, x0, n, st.timesteps[0])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(x0 + st.sigmas[0] * n), rtol=1e-4)
+
+
 def test_euler_continuous_karras_svd_config():
     """SVD/DepthCrafter configuration: continuous 0.25*log(sigma) timesteps."""
     sch = EulerDiscreteScheduler(

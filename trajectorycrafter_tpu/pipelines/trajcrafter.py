@@ -48,7 +48,10 @@ from trajectorycrafter_tpu.ops.resize import resize_linear, resize_mask_latent
 from trajectorycrafter_tpu.ops.rope import rope_for_sample
 from trajectorycrafter_tpu.schedulers.ddim import DDIMScheduler
 from trajectorycrafter_tpu.schedulers.dpm import DPMSolverMultistepScheduler
-from trajectorycrafter_tpu.schedulers.euler import EulerDiscreteScheduler
+from trajectorycrafter_tpu.schedulers.euler import (
+    EulerAncestralDiscreteScheduler,
+    EulerDiscreteScheduler,
+)
 from trajectorycrafter_tpu.schedulers.pndm import PNDMScheduler
 
 
@@ -175,7 +178,7 @@ class TrajCrafterPipeline:
 
         if key is None:
             key = jax.random.PRNGKey(0)
-        key_cond, key_noise, key_vid = jax.random.split(key, 3)
+        key_cond, key_noise, key_vid, key_step = jax.random.split(key, 4)
 
         b, f, h, w, _ = video.shape
         f_lat = (f - 1) // self.vae_scale_factor_temporal + 1
@@ -255,7 +258,7 @@ class TrajCrafterPipeline:
                 latents, text, inpaint_in, ref_in, rope, num_inference_steps,
                 float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
                 steps_per_dispatch=int(steps_per_dispatch),
-                start_index=t_start,
+                start_index=t_start, step_key=key_step,
             )
             # stage offload: drop the 12.2 GB DiT device copy before decode
             # so the decoder's up-block activations fit beside it
@@ -372,7 +375,7 @@ def _encode_video_latents_override_jit(vae, vae_params, video, noise,
 def _denoise_loop(
     transformer, params, scheduler, state, latents, text, inpaint, ref, rope,
     num_steps, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
-    steps_per_dispatch=5, start_index=0,
+    steps_per_dispatch=5, start_index=0, step_key=None,
 ):
     """Run the sampling loop as ceil(loop_steps / steps_per_dispatch) XLA
     executions.  Every full-size chunk reuses ONE compiled program (the
@@ -392,6 +395,8 @@ def _denoise_loop(
     else:
         carry = (latents,)
 
+    if step_key is None:
+        step_key = jax.random.PRNGKey(0)
     spd = steps_per_dispatch if steps_per_dispatch > 0 else loop_steps
     i0 = int(start_index)
     while i0 < loop_steps:
@@ -399,7 +404,7 @@ def _denoise_loop(
         carry = _denoise_chunk_jit(
             transformer, params, scheduler, state, carry, jnp.int32(i0),
             text, inpaint, ref, rope, num_steps, chunk,
-            guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+            guidance_scale, do_cfg, use_dynamic_cfg, dtype, step_key,
         )
         i0 += chunk
     return carry[0]
@@ -415,9 +420,11 @@ def _denoise_loop(
 def _denoise_chunk_jit(
     transformer, params, scheduler, state, carry, i0, text, inpaint, ref, rope,
     num_steps, chunk, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
+    step_key,
 ):
     is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
     is_pndm = isinstance(scheduler, PNDMScheduler)
+    is_ancestral = isinstance(scheduler, EulerAncestralDiscreteScheduler)
 
     def model_call(lat, i):
         lat_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
@@ -454,6 +461,16 @@ def _denoise_chunk_jit(
             lat, x0 = scheduler.step(state, noise_pred, i, lat,
                                      prev_x0=prev_x0, num_steps=num_steps)
             return (lat, x0)
+    elif is_ancestral:
+        # 'Euler A': per-step gaussian derived from the step index so the
+        # draw sequence is chunking-invariant (reference samples fresh noise
+        # each scheduler.step with the pipeline generator)
+        def body(i, carry):
+            noise_pred = model_call(carry[0], i)
+            noise = jax.random.normal(
+                jax.random.fold_in(step_key, i), carry[0].shape, jnp.float32
+            )
+            return (scheduler.step(state, noise_pred, i, carry[0], noise=noise),)
     else:
         def body(i, carry):
             noise_pred = model_call(carry[0], i)

@@ -13,7 +13,11 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from trajectorycrafter_tpu.schedulers.betas import make_betas, spaced_timesteps
+from trajectorycrafter_tpu.schedulers.betas import (
+    make_betas,
+    rescale_zero_terminal_snr,
+    spaced_timesteps,
+)
 
 
 class EulerState(NamedTuple):
@@ -59,7 +63,13 @@ class EulerDiscreteScheduler:
         self.steps_offset = steps_offset
 
         betas = make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
-        self.alphas_cumprod = np.cumprod(1.0 - betas).astype(np.float64)
+        abar = np.cumprod(1.0 - betas)
+        if rescale_betas_zero_snr:
+            # zero-terminal-SNR shift, then keep the terminal sigma finite
+            # (diffusers scheduling_euler_discrete: alphas_cumprod[-1] = 2^-24)
+            abar = rescale_zero_terminal_snr(abar)
+            abar[-1] = 2.0**-24
+        self.alphas_cumprod = abar.astype(np.float64)
         self.train_sigmas = np.sqrt((1 - self.alphas_cumprod) / self.alphas_cumprod)
 
     def set_timesteps(self, num_inference_steps: int) -> EulerState:
@@ -134,9 +144,21 @@ class EulerDiscreteScheduler:
         dt = state.sigmas[i + 1] - sigma
         return (sample + derivative * dt).astype(dtype)
 
-    def add_noise(self, state: EulerState, original, noise, i):
-        """Noising at inference sigma index i (sigma-space: x = x0 + sigma*n)."""
-        sigma = state.sigmas[i]
+    def add_noise(self, state: EulerState, original, noise, timesteps):
+        """Sigma-space noising x = x0 + sigma(t)*n at model-facing timestep
+        values (matching the other schedulers' timestep-valued add_noise and
+        diffusers scheduling_euler_discrete, which looks the sigma up by
+        timestep -- used by the pipeline's img2img strength leg)."""
+        t = jnp.asarray(timesteps, jnp.float32)
+        if self.timestep_type == "continuous":
+            sigma = jnp.exp(4.0 * t)  # t = 0.25*log(sigma)
+        else:
+            train_sigmas = jnp.asarray(self.train_sigmas, jnp.float32)
+            sigma = jnp.interp(
+                t, jnp.arange(len(train_sigmas), dtype=jnp.float32), train_sigmas
+            )
+        while sigma.ndim < jnp.ndim(original):
+            sigma = sigma[..., None]
         return original + sigma * noise
 
 
