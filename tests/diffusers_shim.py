@@ -1073,6 +1073,249 @@ class EulerDiscreteScheduler(ConfigMixin):
                                      pred_original_sample=pred_original_sample)
 
 
+class EulerAncestralDiscreteScheduler(EulerDiscreteScheduler):
+    """Transcription of diffusers' EulerAncestralDiscreteScheduler ('Euler A',
+    demo.py:649): the Euler schedule with a stochastic sigma_up/sigma_down
+    ancestral split; noise drawn via randn_tensor with the pipeline generator
+    (prepare_extra_step_kwargs passes it because step() accepts one)."""
+
+    def step(self, model_output, timestep, sample, generator=None,
+             return_dict: bool = True):
+        if self._step_index is None:
+            self._init_step_index(timestep)
+        sigma = self.sigmas[self._step_index]
+
+        if self.config.prediction_type == "epsilon":
+            pred_original_sample = sample - sigma * model_output
+        elif self.config.prediction_type == "v_prediction":
+            pred_original_sample = model_output * (
+                -sigma / (sigma**2 + 1) ** 0.5) + (sample / (sigma**2 + 1))
+        elif self.config.prediction_type == "sample":
+            pred_original_sample = model_output
+        else:
+            raise ValueError(self.config.prediction_type)
+
+        sigma_from = self.sigmas[self._step_index]
+        sigma_to = self.sigmas[self._step_index + 1]
+        sigma_up = (
+            sigma_to**2 * (sigma_from**2 - sigma_to**2) / sigma_from**2
+        ) ** 0.5
+        sigma_down = (sigma_to**2 - sigma_up**2) ** 0.5
+
+        derivative = (sample - pred_original_sample) / sigma
+        dt = sigma_down - sigma
+        prev_sample = sample + derivative * dt
+        noise = randn_tensor(model_output.shape, generator=generator,
+                             device=model_output.device,
+                             dtype=model_output.dtype)
+        prev_sample = prev_sample + noise * sigma_up
+        self._step_index += 1
+        if not return_dict:
+            return (prev_sample,)
+        return types.SimpleNamespace(prev_sample=prev_sample,
+                                     pred_original_sample=pred_original_sample)
+
+
+class DPMSolverMultistepScheduler(ConfigMixin):
+    """Transcription of diffusers>=0.30 DPMSolverMultistepScheduler,
+    deterministic subset the reference's 'DPM++' menu entry reaches
+    (demo.py:650 + the CogVideoX-Fun checkpoint config): algorithm
+    dpmsolver++, solver_order 2, midpoint, no karras/lu/exponential sigmas,
+    thresholding off, final_sigmas_type 'zero'.  With 'zero' final sigmas
+    the last step is always first-order (the `or final_sigmas_type=="zero"`
+    leg of diffusers' lower_order_final)."""
+
+    order = 1
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        beta_schedule: str = "linear",
+        trained_betas=None,
+        solver_order: int = 2,
+        prediction_type: str = "epsilon",
+        thresholding: bool = False,
+        dynamic_thresholding_ratio: float = 0.995,
+        sample_max_value: float = 1.0,
+        algorithm_type: str = "dpmsolver++",
+        solver_type: str = "midpoint",
+        lower_order_final: bool = True,
+        euler_at_final: bool = False,
+        use_karras_sigmas: bool = False,
+        final_sigmas_type: str = "zero",
+        timestep_spacing: str = "linspace",
+        steps_offset: int = 0,
+        rescale_betas_zero_snr: bool = False,
+    ):
+        assert algorithm_type == "dpmsolver++" and solver_type == "midpoint"
+        assert not thresholding and not use_karras_sigmas
+        if beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        elif beta_schedule == "scaled_linear":
+            betas = (
+                torch.linspace(beta_start**0.5, beta_end**0.5,
+                               num_train_timesteps, dtype=torch.float32) ** 2
+            )
+        else:
+            raise NotImplementedError(beta_schedule)
+        if rescale_betas_zero_snr:
+            betas = _rescale_zero_terminal_snr_betas(betas)
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        if rescale_betas_zero_snr:
+            self.alphas_cumprod[-1] = 2**-24
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.arange(num_train_timesteps - 1, -1, -1)
+        self._step_index = None
+
+    @property
+    def step_index(self):
+        return self._step_index
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        self.num_inference_steps = num_inference_steps
+        if self.config.timestep_spacing == "linspace":
+            timesteps = (
+                np.linspace(0, self.config.num_train_timesteps - 1,
+                            num_inference_steps + 1)
+                .round()[::-1][:-1].copy().astype(np.int64)
+            )
+        elif self.config.timestep_spacing == "leading":
+            step_ratio = self.config.num_train_timesteps // (num_inference_steps + 1)
+            timesteps = (
+                (np.arange(0, num_inference_steps + 1) * step_ratio)
+                .round()[::-1][:-1].copy().astype(np.int64)
+            )
+            timesteps += self.config.steps_offset
+        elif self.config.timestep_spacing == "trailing":
+            step_ratio = self.config.num_train_timesteps / num_inference_steps
+            timesteps = (
+                np.arange(self.config.num_train_timesteps, 0, -step_ratio)
+                .round().copy().astype(np.int64)
+            )
+            timesteps -= 1
+        else:
+            raise ValueError(self.config.timestep_spacing)
+
+        sigmas = np.array(
+            ((1 - self.alphas_cumprod.numpy()) / self.alphas_cumprod.numpy())
+            ** 0.5)
+        sigmas = np.interp(timesteps, np.arange(0, len(sigmas)), sigmas)
+        if self.config.final_sigmas_type == "zero":
+            sigma_last = 0.0
+        elif self.config.final_sigmas_type == "sigma_min":
+            sigma_last = float(
+                ((1 - self.alphas_cumprod[0]) / self.alphas_cumprod[0]) ** 0.5)
+        else:
+            raise ValueError(self.config.final_sigmas_type)
+        self.sigmas = torch.from_numpy(
+            np.concatenate([sigmas, [sigma_last]]).astype(np.float32))
+        self.timesteps = torch.from_numpy(timesteps).to(torch.int64)
+        self.model_outputs = [None] * self.config.solver_order
+        self.lower_order_nums = 0
+        self._step_index = None
+
+    def _init_step_index(self, timestep):
+        indices = (self.timesteps == timestep).nonzero()
+        pos = 1 if len(indices) > 1 else 0
+        self._step_index = int(indices[pos].item())
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    @staticmethod
+    def _sigma_to_alpha_sigma_t(sigma):
+        alpha_t = 1 / ((sigma**2 + 1) ** 0.5)
+        sigma_t = sigma * alpha_t
+        return alpha_t, sigma_t
+
+    def convert_model_output(self, model_output, sample):
+        """-> x0 prediction (dpmsolver++ data-prediction form)."""
+        sigma = self.sigmas[self.step_index]
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma)
+        if self.config.prediction_type == "epsilon":
+            return (sample - sigma_t * model_output) / alpha_t
+        if self.config.prediction_type == "v_prediction":
+            return alpha_t * sample - sigma_t * model_output
+        if self.config.prediction_type == "sample":
+            return model_output
+        raise ValueError(self.config.prediction_type)
+
+    def dpm_solver_first_order_update(self, model_output, sample):
+        sigma_t, sigma_s = self.sigmas[self.step_index + 1], self.sigmas[self.step_index]
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t)
+        alpha_s, sigma_s = self._sigma_to_alpha_sigma_t(sigma_s)
+        lambda_t = torch.log(alpha_t) - torch.log(sigma_t)
+        lambda_s = torch.log(alpha_s) - torch.log(sigma_s)
+        h = lambda_t - lambda_s
+        return (sigma_t / sigma_s) * sample - (
+            alpha_t * (torch.exp(-h) - 1.0)) * model_output
+
+    def multistep_dpm_solver_second_order_update(self, model_output_list, sample):
+        sigma_t = self.sigmas[self.step_index + 1]
+        sigma_s0 = self.sigmas[self.step_index]
+        sigma_s1 = self.sigmas[self.step_index - 1]
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma_t)
+        alpha_s0, sigma_s0 = self._sigma_to_alpha_sigma_t(sigma_s0)
+        alpha_s1, sigma_s1 = self._sigma_to_alpha_sigma_t(sigma_s1)
+        lambda_t = torch.log(alpha_t) - torch.log(sigma_t)
+        lambda_s0 = torch.log(alpha_s0) - torch.log(sigma_s0)
+        lambda_s1 = torch.log(alpha_s1) - torch.log(sigma_s1)
+        m0, m1 = model_output_list[-1], model_output_list[-2]
+        h, h_0 = lambda_t - lambda_s0, lambda_s0 - lambda_s1
+        r0 = h_0 / h
+        D0, D1 = m0, (1.0 / r0) * (m0 - m1)
+        # midpoint
+        return (
+            (sigma_t / sigma_s0) * sample
+            - (alpha_t * (torch.exp(-h) - 1.0)) * D0
+            - 0.5 * (alpha_t * (torch.exp(-h) - 1.0)) * D1
+        )
+
+    def step(self, model_output, timestep, sample, generator=None,
+             return_dict: bool = True):
+        if self._step_index is None:
+            self._init_step_index(timestep)
+
+        lower_order_final = (self.step_index == len(self.timesteps) - 1) and (
+            self.config.euler_at_final
+            or (self.config.lower_order_final and len(self.timesteps) < 15)
+            or self.config.final_sigmas_type == "zero"
+        )
+        model_output = self.convert_model_output(model_output, sample=sample)
+        for i in range(self.config.solver_order - 1):
+            self.model_outputs[i] = self.model_outputs[i + 1]
+        self.model_outputs[-1] = model_output
+
+        if self.config.solver_order == 1 or self.lower_order_nums < 1 or lower_order_final:
+            prev_sample = self.dpm_solver_first_order_update(model_output, sample=sample)
+        else:
+            prev_sample = self.multistep_dpm_solver_second_order_update(
+                self.model_outputs, sample=sample)
+
+        if self.lower_order_nums < self.config.solver_order:
+            self.lower_order_nums += 1
+        self._step_index += 1
+        if not return_dict:
+            return (prev_sample,)
+        return types.SimpleNamespace(prev_sample=prev_sample)
+
+    def add_noise(self, original_samples, noise, timesteps):
+        step_indices = [
+            (self.timesteps == t).nonzero().item() for t in timesteps.reshape(-1)
+        ]
+        sigma = self.sigmas[step_indices].flatten()
+        while len(sigma.shape) < len(original_samples.shape):
+            sigma = sigma.unsqueeze(-1)
+        alpha_t, sigma_t = self._sigma_to_alpha_sigma_t(sigma)
+        return alpha_t * original_samples + sigma_t * noise
+
+
 class CogVideoXDPMScheduler(ConfigMixin):
     """Marker only: the pipeline's isinstance branch for the two-return-value
     DPM step.  Not exercised by the parity tests (DDIM is the deployed
@@ -1187,6 +1430,8 @@ def install():
             "diffusers.schedulers",
             DDIMScheduler=DDIMScheduler,
             EulerDiscreteScheduler=EulerDiscreteScheduler,
+            EulerAncestralDiscreteScheduler=EulerAncestralDiscreteScheduler,
+            DPMSolverMultistepScheduler=DPMSolverMultistepScheduler,
             CogVideoXDDIMScheduler=CogVideoXDDIMScheduler,
             CogVideoXDPMScheduler=CogVideoXDPMScheduler),
         "diffusers.video_processor": _module(

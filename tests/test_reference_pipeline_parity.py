@@ -157,6 +157,10 @@ def _run_reference(ref_stack, ref_models, inputs, strength, sampler="DDIM_Cog"):
 
     if sampler == "Euler":
         scheduler = shim_schedulers.EulerDiscreteScheduler(**EULER_CFG)
+    elif sampler == "Euler A":
+        scheduler = shim_schedulers.EulerAncestralDiscreteScheduler(**EULER_CFG)
+    elif sampler == "DPM++":
+        scheduler = shim_schedulers.DPMSolverMultistepScheduler(**EULER_CFG)
     else:
         sched_cls = {"DDIM_Cog": shim_schedulers.CogVideoXDDIMScheduler,
                      "DDIM_Origin": shim_schedulers.DDIMScheduler}[sampler]
@@ -242,14 +246,15 @@ def _our_pipeline(ref_models, sampler="DDIM_Cog"):
 @pytest.mark.parametrize(
     "sampler,strength",
     [("DDIM_Cog", 1.0), ("DDIM_Cog", 0.6), ("DDIM_Origin", 1.0),
-     ("Euler", 1.0)],
+     ("Euler", 1.0), ("Euler A", 1.0), ("DPM++", 1.0), ("DPM++", 0.6)],
 )
 def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
                                          sampler, strength):
     """Our jitted sampling chain reproduces the reference's final latents
     (strength=1: pure-noise init; strength=0.6: img2img init from the
     VAE-encoded warped video + truncated timesteps; DDIM_Origin is the
-    reference CLI's default sampler, DDIM_Cog the SNR-shifted variant)."""
+    reference CLI's default sampler, DDIM_Cog the SNR-shifted variant;
+    Euler A additionally replays the per-step ancestral generator draws)."""
     from trajectorycrafter_tpu.utils import torch_compat
 
     ref_latents = _run_reference(ref_stack, ref_models, inputs, strength,
@@ -257,8 +262,9 @@ def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
 
     pipeline = _our_pipeline(ref_models, sampler)
     f_lat = (F - 1) // 4 + 1
-    init_latents = torch_compat.reference_initial_latents(
-        1, f_lat, VAE_TINY["latent_channels"], H // 8, W // 8, GEN_SEED
+    init_latents, step_noises = torch_compat.reference_generator_sequence(
+        1, f_lat, VAE_TINY["latent_channels"], H // 8, W // 8, GEN_SEED,
+        num_step_draws=STEPS if sampler == "Euler A" else 0,
     )
     noise_override = torch_compat.reference_condition_noise(
         1, (F_REF - 1) // 4 + 1, VAE_TINY["latent_channels"], H // 8, W // 8,
@@ -277,6 +283,8 @@ def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
         strength=strength,
         latents=jnp.asarray(init_latents),
         noise_override=noise_override,
+        ancestral_noise_override=(None if step_noises is None
+                                  else jnp.asarray(step_noises)),
         output_type="latent",
     )
     np.testing.assert_allclose(

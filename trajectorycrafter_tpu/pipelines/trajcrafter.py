@@ -164,6 +164,7 @@ class TrajCrafterPipeline:
         output_type: str = "np",
         steps_per_dispatch: int = 5,
         noise_override: Optional[Tuple] = None,
+        ancestral_noise_override: Optional[jnp.ndarray] = None,
     ):
         """Full sampling run; returns (B, F, H, W, 3) video in [0, 1].
 
@@ -259,6 +260,7 @@ class TrajCrafterPipeline:
                 float(guidance_scale), bool(do_cfg), bool(use_dynamic_cfg), self.dtype,
                 steps_per_dispatch=int(steps_per_dispatch),
                 start_index=t_start, step_key=key_step,
+                ancestral_noises=ancestral_noise_override,
             )
             # stage offload: drop the 12.2 GB DiT device copy before decode
             # so the decoder's up-block activations fit beside it
@@ -375,7 +377,7 @@ def _encode_video_latents_override_jit(vae, vae_params, video, noise,
 def _denoise_loop(
     transformer, params, scheduler, state, latents, text, inpaint, ref, rope,
     num_steps, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
-    steps_per_dispatch=5, start_index=0, step_key=None,
+    steps_per_dispatch=5, start_index=0, step_key=None, ancestral_noises=None,
 ):
     """Run the sampling loop as ceil(loop_steps / steps_per_dispatch) XLA
     executions.  Every full-size chunk reuses ONE compiled program (the
@@ -405,6 +407,7 @@ def _denoise_loop(
             transformer, params, scheduler, state, carry, jnp.int32(i0),
             text, inpaint, ref, rope, num_steps, chunk,
             guidance_scale, do_cfg, use_dynamic_cfg, dtype, step_key,
+            ancestral_noises, loop_start=int(start_index),
         )
         i0 += chunk
     return carry[0]
@@ -420,7 +423,7 @@ def _denoise_loop(
 def _denoise_chunk_jit(
     transformer, params, scheduler, state, carry, i0, text, inpaint, ref, rope,
     num_steps, chunk, guidance_scale, do_cfg, use_dynamic_cfg, dtype,
-    step_key,
+    step_key, ancestral_noises=None, loop_start=0,
 ):
     is_dpm = isinstance(scheduler, DPMSolverMultistepScheduler)
     is_pndm = isinstance(scheduler, PNDMScheduler)
@@ -459,17 +462,23 @@ def _denoise_chunk_jit(
             lat, prev_x0 = carry
             noise_pred = model_call(lat, i)
             lat, x0 = scheduler.step(state, noise_pred, i, lat,
-                                     prev_x0=prev_x0, num_steps=num_steps)
+                                     prev_x0=prev_x0, num_steps=num_steps,
+                                     first_index=loop_start)
             return (lat, x0)
     elif is_ancestral:
         # 'Euler A': per-step gaussian derived from the step index so the
         # draw sequence is chunking-invariant (reference samples fresh noise
-        # each scheduler.step with the pipeline generator)
+        # each scheduler.step with the pipeline generator).  An explicit
+        # (S, *latents) override -- indexed by absolute step -- replays the
+        # reference torch generator for fixed-seed parity.
         def body(i, carry):
             noise_pred = model_call(carry[0], i)
-            noise = jax.random.normal(
-                jax.random.fold_in(step_key, i), carry[0].shape, jnp.float32
-            )
+            if ancestral_noises is None:
+                noise = jax.random.normal(
+                    jax.random.fold_in(step_key, i), carry[0].shape, jnp.float32
+                )
+            else:
+                noise = ancestral_noises[i].astype(jnp.float32)
             return (scheduler.step(state, noise_pred, i, carry[0], noise=noise),)
     else:
         def body(i, carry):

@@ -99,8 +99,13 @@ class DPMSolverMultistepScheduler:
             return model_output
         raise ValueError(self.prediction_type)
 
-    def step(self, state: DPMState, model_output, i, sample, prev_x0=None, num_steps=None):
-        """One 2M update.  ``prev_x0`` is last step's x0 (None/zeros at i=0).
+    def step(self, state: DPMState, model_output, i, sample, prev_x0=None,
+             num_steps=None, first_index=0):
+        """One 2M update.  ``prev_x0`` is last step's x0 (None/zeros at the
+        first executed step).  ``first_index`` is the loop's starting step
+        (img2img strength truncation): the first *executed* step must be
+        first-order (diffusers' lower_order_nums warmup counts executed
+        steps, not absolute indices).
 
         Returns (new_sample, x0) -- thread x0 into the next call.
         """
@@ -122,8 +127,8 @@ class DPMSolverMultistepScheduler:
         d1 = (x0 - prev_x0) / r
         second_order = first_order - 0.5 * a_t * jnp.expm1(-h) * d1
 
-        is_second = i > 0
-        if num_steps is not None:  # lower_order_final
+        is_second = i > first_index
+        if num_steps is not None:  # lower_order_final (final sigma is zero)
             is_second = jnp.logical_and(is_second, i < num_steps - 1)
         out = jnp.where(is_second, second_order, first_order)
         return out.astype(dtype), x0

@@ -35,6 +35,35 @@ def reference_initial_latents(
     return np.moveaxis(bcfhw, 2, -1)
 
 
+def reference_generator_sequence(
+    batch: int,
+    latent_frames: int,
+    channels: int,
+    h: int,
+    w: int,
+    seed: int,
+    num_step_draws: int = 0,
+) -> Tuple[np.ndarray, np.ndarray | None]:
+    """The reference pipeline's full *explicit-generator* draw sequence:
+    the initial latents (prepare_latents, :431) followed by one
+    ``randn_tensor(latents.shape, generator=...)`` per denoise step for
+    stochastic samplers ('Euler A' -- prepare_extra_step_kwargs forwards the
+    generator into scheduler.step).  Returns channel-last
+    ``(init_latents (B,F,h,w,C), step_noises (S,B,F,h,w,C) | None)``."""
+    import torch
+
+    gen = torch.Generator(device="cpu").manual_seed(seed)
+    shape = (batch, latent_frames, channels, h, w)
+    init = torch.randn(shape, generator=gen).numpy()
+    steps = None
+    if num_step_draws > 0:
+        steps = np.stack(
+            [torch.randn(shape, generator=gen).numpy() for _ in range(num_step_draws)]
+        )
+        steps = np.moveaxis(steps, 3, -1)
+    return np.moveaxis(init, 2, -1), steps
+
+
 def reference_condition_noise(
     batch: int,
     ref_latent_frames: int,
