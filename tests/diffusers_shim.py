@@ -1316,6 +1316,203 @@ class DPMSolverMultistepScheduler(ConfigMixin):
         return alpha_t * original_samples + sigma_t * noise
 
 
+class PNDMScheduler(ConfigMixin):
+    """Transcription of diffusers' PNDMScheduler ('PNDM', demo.py:651).
+    With the CogVideoX-Fun checkpoint config skip_prk_steps stays at the
+    diffusers default False -> pseudo-RK4 warmup then 4th-order PLMS; the
+    linear combinations act on raw model outputs with the v->epsilon
+    conversion applied once inside _get_prev_sample."""
+
+    order = 1
+    pndm_order = 4
+
+    @register_to_config
+    def __init__(
+        self,
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        beta_schedule: str = "linear",
+        trained_betas=None,
+        skip_prk_steps: bool = False,
+        set_alpha_to_one: bool = False,
+        prediction_type: str = "epsilon",
+        timestep_spacing: str = "leading",
+        steps_offset: int = 0,
+    ):
+        if beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        elif beta_schedule == "scaled_linear":
+            betas = (
+                torch.linspace(beta_start**0.5, beta_end**0.5,
+                               num_train_timesteps, dtype=torch.float32) ** 2
+            )
+        else:
+            raise NotImplementedError(beta_schedule)
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        self.final_alpha_cumprod = (
+            torch.tensor(1.0) if set_alpha_to_one else self.alphas_cumprod[0]
+        )
+        self.init_noise_sigma = 1.0
+        self.cur_model_output = 0
+        self.counter = 0
+        self.cur_sample = None
+        self.ets = []
+        self.num_inference_steps = None
+        self._timesteps = np.arange(0, num_train_timesteps)[::-1].copy()
+        self.prk_timesteps = None
+        self.plms_timesteps = None
+        self.timesteps = None
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        self.num_inference_steps = num_inference_steps
+        if self.config.timestep_spacing == "linspace":
+            self._timesteps = (
+                np.linspace(0, self.config.num_train_timesteps - 1,
+                            num_inference_steps).round().astype(np.int64)
+            )
+        elif self.config.timestep_spacing == "leading":
+            step_ratio = self.config.num_train_timesteps // num_inference_steps
+            self._timesteps = (
+                (np.arange(0, num_inference_steps) * step_ratio)
+                .round().astype(np.int64)
+            )
+            self._timesteps += self.config.steps_offset
+        elif self.config.timestep_spacing == "trailing":
+            step_ratio = self.config.num_train_timesteps / num_inference_steps
+            self._timesteps = np.round(
+                np.arange(self.config.num_train_timesteps, 0, -step_ratio)
+            )[::-1].astype(np.int64)
+            self._timesteps -= 1
+        else:
+            raise ValueError(self.config.timestep_spacing)
+
+        if self.config.skip_prk_steps:
+            self.prk_timesteps = np.array([])
+            self.plms_timesteps = np.concatenate(
+                [self._timesteps[:-1], self._timesteps[-2:-1],
+                 self._timesteps[-1:]]
+            )[::-1].copy()
+        else:
+            prk_timesteps = np.array(
+                self._timesteps[-self.pndm_order:]
+            ).repeat(2) + np.tile(
+                np.array([0, self.config.num_train_timesteps
+                          // num_inference_steps // 2]),
+                self.pndm_order,
+            )
+            self.prk_timesteps = (prk_timesteps[:-1].repeat(2)[1:-1])[::-1].copy()
+            self.plms_timesteps = self._timesteps[:-3][::-1].copy()
+
+        timesteps = np.concatenate([self.prk_timesteps, self.plms_timesteps])
+        self.timesteps = torch.from_numpy(timesteps).to(torch.int64)
+        self.ets = []
+        self.counter = 0
+        self.cur_model_output = 0
+        self.cur_sample = None
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    def _get_prev_sample(self, sample, timestep, prev_timestep, model_output):
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (
+            self.alphas_cumprod[prev_timestep] if prev_timestep >= 0
+            else self.final_alpha_cumprod
+        )
+        beta_prod_t = 1 - alpha_prod_t
+        beta_prod_t_prev = 1 - alpha_prod_t_prev
+        if self.config.prediction_type == "v_prediction":
+            model_output = (alpha_prod_t**0.5) * model_output + (
+                beta_prod_t**0.5) * sample
+        elif self.config.prediction_type != "epsilon":
+            raise ValueError(self.config.prediction_type)
+        sample_coeff = (alpha_prod_t_prev / alpha_prod_t) ** 0.5
+        model_output_denom_coeff = alpha_prod_t * beta_prod_t_prev ** 0.5 + (
+            alpha_prod_t * beta_prod_t * alpha_prod_t_prev) ** 0.5
+        return (
+            sample_coeff * sample
+            - (alpha_prod_t_prev - alpha_prod_t) * model_output
+            / model_output_denom_coeff
+        )
+
+    def step_prk(self, model_output, timestep, sample):
+        diff_to_prev = (
+            0 if self.counter % 2 else
+            self.config.num_train_timesteps // self.num_inference_steps // 2
+        )
+        prev_timestep = timestep - diff_to_prev
+        timestep = self.prk_timesteps[self.counter // 4 * 4]
+        if self.counter % 4 == 0:
+            self.cur_model_output = self.cur_model_output + 1 / 6 * model_output
+            self.ets.append(model_output)
+            self.cur_sample = sample
+        elif (self.counter - 1) % 4 == 0:
+            self.cur_model_output = self.cur_model_output + 1 / 3 * model_output
+        elif (self.counter - 2) % 4 == 0:
+            self.cur_model_output = self.cur_model_output + 1 / 3 * model_output
+        elif (self.counter - 3) % 4 == 0:
+            model_output = self.cur_model_output + 1 / 6 * model_output
+            self.cur_model_output = 0
+        cur_sample = self.cur_sample if self.cur_sample is not None else sample
+        prev_sample = self._get_prev_sample(
+            cur_sample, timestep, prev_timestep, model_output)
+        self.counter += 1
+        return prev_sample
+
+    def step_plms(self, model_output, timestep, sample):
+        prev_timestep = timestep - (
+            self.config.num_train_timesteps // self.num_inference_steps)
+        if self.counter != 1:
+            self.ets = self.ets[-3:]
+            self.ets.append(model_output)
+        else:
+            prev_timestep = timestep
+            timestep = timestep + (
+                self.config.num_train_timesteps // self.num_inference_steps)
+
+        if len(self.ets) == 1 and self.counter == 0:
+            model_output = model_output
+            self.cur_sample = sample
+        elif len(self.ets) == 1 and self.counter == 1:
+            model_output = (model_output + self.ets[-1]) / 2
+            sample = self.cur_sample
+            self.cur_sample = None
+        elif len(self.ets) == 2:
+            model_output = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            model_output = (
+                23 * self.ets[-1] - 16 * self.ets[-2] + 5 * self.ets[-3]) / 12
+        else:
+            model_output = (1 / 24) * (
+                55 * self.ets[-1] - 59 * self.ets[-2]
+                + 37 * self.ets[-3] - 9 * self.ets[-4])
+        prev_sample = self._get_prev_sample(
+            sample, timestep, prev_timestep, model_output)
+        self.counter += 1
+        return prev_sample
+
+    def step(self, model_output, timestep, sample, return_dict: bool = True):
+        if (self.counter < len(self.prk_timesteps)
+                and not self.config.skip_prk_steps):
+            prev_sample = self.step_prk(model_output, timestep, sample)
+        else:
+            prev_sample = self.step_plms(model_output, timestep, sample)
+        if not return_dict:
+            return (prev_sample,)
+        return types.SimpleNamespace(prev_sample=prev_sample)
+
+    def add_noise(self, original_samples, noise, timesteps):
+        a = self.alphas_cumprod[timesteps] ** 0.5
+        b = (1 - self.alphas_cumprod[timesteps]) ** 0.5
+        while len(a.shape) < len(original_samples.shape):
+            a = a.unsqueeze(-1)
+            b = b.unsqueeze(-1)
+        return a * original_samples + b * noise
+
+
 class CogVideoXDPMScheduler(ConfigMixin):
     """Marker only: the pipeline's isinstance branch for the two-return-value
     DPM step.  Not exercised by the parity tests (DDIM is the deployed
@@ -1432,6 +1629,7 @@ def install():
             EulerDiscreteScheduler=EulerDiscreteScheduler,
             EulerAncestralDiscreteScheduler=EulerAncestralDiscreteScheduler,
             DPMSolverMultistepScheduler=DPMSolverMultistepScheduler,
+            PNDMScheduler=PNDMScheduler,
             CogVideoXDDIMScheduler=CogVideoXDDIMScheduler,
             CogVideoXDPMScheduler=CogVideoXDPMScheduler),
         "diffusers.video_processor": _module(

@@ -108,7 +108,9 @@ def test_pipeline_seed_determinism(tiny_pipeline, rng):
     "sch_cls,kw",
     [
         (CogVideoXDPMScheduler, {}),
-        (PNDMScheduler, {"prediction_type": "v_prediction"}),
+        # 2 steps < the PRK warmup's minimum 4 -> exercise the PLMS-only form
+        (PNDMScheduler, {"prediction_type": "v_prediction",
+                         "skip_prk_steps": True}),
         (EulerDiscreteScheduler, {"timestep_spacing": "trailing"}),
         (EulerAncestralDiscreteScheduler, {"timestep_spacing": "trailing"}),
     ],
@@ -185,7 +187,7 @@ def test_registry_samplers_run_end_to_end(tiny_pipeline, rng):
     for name, factory in SCHEDULER_REGISTRY.items():
         pipe = dataclasses.replace(tiny_pipeline, scheduler=factory())
         out = np.asarray(pipe(pe, ne, video, mask, reference,
-                              num_inference_steps=3, guidance_scale=6.0,
+                              num_inference_steps=4, guidance_scale=6.0,
                               key=jax.random.PRNGKey(43)))
         assert out.shape == (1, 9, 32, 48, 3), name
         assert np.all(np.isfinite(out)), name

@@ -97,6 +97,18 @@ EULER_CFG = dict(
     steps_offset=0,
     rescale_betas_zero_snr=True,
 )
+# PNDM accepts neither rescale_betas_zero_snr nor snr_shift_scale; it does
+# take the checkpoint's set_alpha_to_one=True.  skip_prk_steps is absent
+# from the config -> diffusers default False -> full pseudo-RK4 warmup.
+PNDM_CFG = dict(
+    beta_start=0.00085,
+    beta_end=0.012,
+    beta_schedule="scaled_linear",
+    prediction_type="v_prediction",
+    timestep_spacing="trailing",
+    steps_offset=0,
+    set_alpha_to_one=True,
+)
 
 
 @pytest.fixture(scope="module")
@@ -161,6 +173,8 @@ def _run_reference(ref_stack, ref_models, inputs, strength, sampler="DDIM_Cog"):
         scheduler = shim_schedulers.EulerAncestralDiscreteScheduler(**EULER_CFG)
     elif sampler == "DPM++":
         scheduler = shim_schedulers.DPMSolverMultistepScheduler(**EULER_CFG)
+    elif sampler == "PNDM":
+        scheduler = shim_schedulers.PNDMScheduler(**PNDM_CFG)
     else:
         sched_cls = {"DDIM_Cog": shim_schedulers.CogVideoXDDIMScheduler,
                      "DDIM_Origin": shim_schedulers.DDIMScheduler}[sampler]
@@ -246,7 +260,8 @@ def _our_pipeline(ref_models, sampler="DDIM_Cog"):
 @pytest.mark.parametrize(
     "sampler,strength",
     [("DDIM_Cog", 1.0), ("DDIM_Cog", 0.6), ("DDIM_Origin", 1.0),
-     ("Euler", 1.0), ("Euler A", 1.0), ("DPM++", 1.0), ("DPM++", 0.6)],
+     ("Euler", 1.0), ("Euler A", 1.0), ("DPM++", 1.0), ("DPM++", 0.6),
+     ("PNDM", 1.0)],
 )
 def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
                                          sampler, strength):
