@@ -118,9 +118,9 @@ def test_orchestrator_end_to_end_with_int8(tmp_path):
     assert os.path.getsize(os.path.join(cfg.save_dir, "gen.mp4")) > 0
 
 
-def test_quantize_targets_only_block_denses(tiny_io):
-    """Perceiver / patch / time / output layers stay bf16 (kernel key
-    preserved); only blocks_* attn/FF kernels become kernel_q."""
+def test_quantize_targets_block_and_perceiver_denses(tiny_io):
+    """blocks_* attn/FF kernels and perceiver projections become kernel_q;
+    patch / time / output layers stay bf16 (kernel key preserved)."""
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
     from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
 
@@ -129,7 +129,9 @@ def test_quantize_targets_only_block_denses(tiny_io):
     params = model.init(jax.random.PRNGKey(0), hidden, text, t, inpaint,
                         cross)["params"]
     q = quantize_dit_params(params)
-    assert "kernel" in q["perceiver_cross_attention_0"]["to_q"]
+    assert "kernel_q" in q["perceiver_cross_attention_0"]["to_q"]
+    assert "kernel_q" in q["perceiver_cross_attention_0"]["to_kv"]
+    assert "kernel_q" in q["perceiver_cross_attention_0"]["to_out"]
     assert "kernel" in q["proj_out"]
     assert "kernel" in q["patch_embed_proj"]
     assert "kernel_q" in q["blocks_0"]["attn1"]["to_q"]

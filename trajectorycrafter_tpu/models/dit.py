@@ -189,11 +189,13 @@ class PerceiverCrossAttention(nn.Module):
     head_dim: int = 128
     heads: int = 16
     attention_impl: str = "auto"
+    quant: str = "none"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, latents):
+        dense = _dense_cls(self.quant)
         # x: (B, S_ref, dim) reference tokens; latents: (B, S_vid, dim)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=self.param_dtype, name="norm1")(
@@ -203,10 +205,13 @@ class PerceiverCrossAttention(nn.Module):
             latents.astype(jnp.float32)).astype(self.dtype)
         b, s_vid, _ = lat.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_q")(lat)
-        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="to_kv")(x)
+        # q/out run over the full video-token stream (~30k tokens) -- the
+        # quantizable GEMMs; kv sees only the short replicated ref tokens
+        # but shares the int8 path for a uniform param tree under quant
+        q = dense(inner, use_bias=False, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="to_q")(lat)
+        kv = dense(2 * inner, use_bias=False, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="to_kv")(x)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b, s_vid, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
@@ -214,8 +219,8 @@ class PerceiverCrossAttention(nn.Module):
         # the reference-token kv is short and replicated -- never ring-shard it
         impl = "xla" if self.attention_impl == "ring" else self.attention_impl
         out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5, impl=impl)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="to_out")(out)
+        return dense(self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="to_out")(out)
 
 
 class CrossTransformer3DModel(nn.Module):
@@ -332,7 +337,7 @@ class CrossTransformer3DModel(nn.Module):
             if cross_tokens is not None and i % self.cross_attn_interval == 0:
                 hidden = hidden + PerceiverCrossAttention(
                     dim, self.cross_attn_dim_head, self.cross_attn_num_heads,
-                    attention_impl=self.attention_impl,
+                    attention_impl=self.attention_impl, quant=self.quant,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"perceiver_cross_attention_{ca_idx}",
                 )(cross_tokens, hidden)

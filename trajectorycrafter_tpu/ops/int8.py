@@ -73,23 +73,27 @@ def quantize_dense_params(p: dict) -> dict:
     return out
 
 
-# the DiT modules whose GEMMs are MXU-bound (block attention projections +
-# FF); Perceiver/patch/time layers are a small share of step FLOPs and stay bf16
-DIT_INT8_TARGETS = ("to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out")
+# the DiT modules whose GEMMs are MXU-bound: block attention projections +
+# FF, plus the Perceiver cross-attention projections (to_q/to_out run over
+# the full ~30k video-token stream); patch/time layers are a negligible
+# share of step FLOPs and stay bf16
+DIT_INT8_TARGETS = ("to_q", "to_k", "to_kv", "to_v", "to_out",
+                    "proj_in", "proj_out")
+_INT8_MODULE_PREFIXES = ("blocks_", "perceiver_cross_attention_")
 
 
 def quantize_dit_params(params: Any, targets=DIT_INT8_TARGETS) -> Any:
     """Quantize a CrossTransformer3D param tree for ``quant="int8"``.
 
-    Only Dense kernels named in ``targets`` inside ``blocks_*`` modules are
-    converted (matches the model's module swap); everything else passes
-    through unchanged.
+    Only Dense kernels named in ``targets`` inside ``blocks_*`` /
+    ``perceiver_cross_attention_*`` modules are converted (matches the
+    model's module swap); everything else passes through unchanged.
     """
 
     def walk(tree, path):
         if isinstance(tree, dict):
             if ("kernel" in tree and len(path) >= 2 and path[-1] in targets
-                    and path[0].startswith("blocks_")
+                    and path[0].startswith(_INT8_MODULE_PREFIXES)
                     # the model-level proj_out stays bf16 (tiny)
                     and len(jnp.shape(tree["kernel"])) == 2):
                 return quantize_dense_params(tree)
