@@ -29,12 +29,26 @@ class Int8Dense(nn.Module):
     Params: ``kernel_q`` (in, out) int8, ``scale`` (out,) float32 such that
     ``kernel ~= kernel_q * scale``, optional ``bias``.  Produced from a
     regular Dense's params by :func:`quantize_dense_params`.
+
+    ``impl``: "xla" = lax.dot_general int8 path; "pallas" = the blocked
+    Pallas GEMM (ops/pallas/int8_matmul.py) with the dequant epilogue fused
+    in-kernel; "auto" = pallas on an unmeshed TPU backend at MXU-worthy
+    shapes, xla otherwise (the mesh path keeps XLA so pjit can partition
+    the GEMM).
     """
 
     features: int
     use_bias: bool = True
+    impl: str = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    def _use_pallas(self, x, in_features: int) -> bool:
+        if self.impl in ("xla", "pallas"):
+            return self.impl == "pallas"
+        return (jax.default_backend() == "tpu"
+                and jax.sharding.get_abstract_mesh().empty
+                and in_features % 256 == 0 and self.features % 256 == 0)
 
     @nn.compact
     def __call__(self, x):
@@ -43,6 +57,14 @@ class Int8Dense(nn.Module):
                               (in_features, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype) if self.use_bias \
+            else None
+        if self._use_pallas(x, in_features):
+            from trajectorycrafter_tpu.ops.pallas.int8_matmul import (
+                int8_dense_apply)
+            return int8_dense_apply(x, kernel_q, scale, bias=bias,
+                                    out_dtype=self.dtype)
         xf = x.astype(jnp.float32)
         xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
         xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
@@ -51,9 +73,7 @@ class Int8Dense(nn.Module):
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * xs * scale
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), self.param_dtype)
+        if bias is not None:
             y = y + bias.astype(jnp.float32)
         return y.astype(self.dtype)
 

@@ -1,0 +1,150 @@
+"""int8 x int8 -> int32 GEMM with fused dequant epilogue (Pallas TPU).
+
+The XLA lowering of the Int8Dense GEMM (ops/int8.py) reaches only ~1.39x
+the bf16 rate on v5e (nominal int8 MXU rate: 2x; docs/COVERAGE.md round-3
+notes), so this kernel drives the int8 MXU directly: classic blocked
+matmul, grid (M/bm, N/bn, K/bk) with the K dimension as the "arbitrary"
+reduction, int32 VMEM accumulator, and the per-token activation scale x
+per-output-channel weight scale dequant fused into the final-K epilogue so
+the int32 accumulator never round-trips HBM.
+
+Replaces the reference's precision strategy (straight bf16 autocast on
+cuBLAS, SURVEY.md section 1) for the DiT's MXU-bound projections behind
+``quant="int8"``; see crosstransformer3d.py:711-871 for the reference
+modules these GEMMs come from.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fit_block(want: int, dim: int) -> int:
+    """Largest power-of-two-ish block <= want that divides dim (the DiT's
+    GEMM dims are all multiples of 1024 or 2048; perceiver K/N include
+    2048/4096)."""
+    if dim % want == 0:
+        return want
+    b = min(want, dim)
+    while b > 128 and dim % b:
+        b //= 2
+    return b if dim % b == 0 else dim
+
+
+def _kernel(xq_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_scr):
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    acc_scr[:] += jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _out():
+        # xs: (bm, 128) with the real per-row scale broadcast along lanes;
+        # ws/b: (1, bn) per-output-channel weight scale and bias
+        o_ref[:] = (acc_scr[:].astype(jnp.float32)
+                    * xs_ref[:, :1] * ws_ref[:] + b_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def int8_matmul(
+    xq: jnp.ndarray,      # (M, K) int8
+    w: jnp.ndarray,       # (K, N) int8
+    xs: jnp.ndarray,      # (M,) float32 per-row activation scale
+    ws: jnp.ndarray,      # (N,) float32 per-column weight scale
+    bias: jnp.ndarray = None,  # optional (N,) bias, fused into the epilogue
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """-> (M, N) out_dtype = (xq @ w) * xs[:, None] * ws[None, :] + bias.
+
+    M, K, N must be multiples of the block sizes (the Int8Dense wrapper
+    pads M; K/N are production-shape multiples of 1536/1024 already).
+    """
+    m, kdim = xq.shape
+    n = w.shape[1]
+    block_m = min(block_m, m)
+    block_n = _fit_block(block_n, n)
+    block_k = _fit_block(block_k, kdim)
+    assert m % block_m == 0 and n % block_n == 0 and kdim % block_k == 0, (
+        (m, kdim, n), (block_m, block_k, block_n))
+
+    # per-row scales as a (M, 128) lane-broadcast block so the epilogue can
+    # read them as a normal VMEM tile (f32 min tile sublane 8 x lane 128)
+    xs2 = jnp.broadcast_to(xs.astype(jnp.float32)[:, None], (m, 128))
+    ws2 = ws.astype(jnp.float32)[None, :]
+    b2 = (jnp.zeros((1, n), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)[None, :])
+
+    grid = (m // block_m, n // block_n, kdim // block_k)
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_m, 128), lambda i, j, k: (i, 0)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, w, xs2, ws2, b2)
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Per-row symmetric int8: (M, K) float -> ((M, K) int8, (M,) f32)."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs[:, None]), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def int8_dense_apply(x, kernel_q, scale, bias=None, out_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Int8Dense forward through the Pallas GEMM.
+
+    x: (..., K) float; kernel_q: (K, N) int8; scale: (N,) f32.  Leading
+    dims are flattened into M and padded to the 512-row block.
+    """
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    n = kernel_q.shape[1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, kdim)
+    xq, xs = quantize_rows(x2)
+    block_m = 512 if m >= 512 else 32
+    pad = (-m) % block_m
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        xs = jnp.pad(xs, (0, pad))
+    out = int8_matmul(xq, kernel_q, xs, scale, bias=bias, block_m=block_m,
+                      out_dtype=out_dtype, interpret=interpret)
+    if pad:
+        out = out[:m]
+    return out.reshape(*lead, n)
