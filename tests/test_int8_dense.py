@@ -176,3 +176,23 @@ def test_int8_dense_impl_dispatch(rng):
     auto = np.asarray(Int8Dense(32).apply({"params": qp}, x))
     xla = np.asarray(Int8Dense(32, impl="xla").apply({"params": qp}, x))
     np.testing.assert_array_equal(auto, xla)
+
+
+def test_quantize_rows_pallas_matches_xla(rng):
+    """Single-pass Pallas row quantization == the two-pass XLA formula.
+
+    The scale may differ by 1 ULP (divide vs reciprocal-multiply
+    lowering), which can flip round-half-even at exact .5 quant
+    boundaries -- allow +/-1 code on a tiny fraction of elements."""
+    from trajectorycrafter_tpu.ops.pallas.int8_matmul import (
+        quantize_rows, quantize_rows_pallas)
+
+    x = jnp.asarray(rng.standard_normal((512, 384)), jnp.bfloat16)
+    xq, xs = quantize_rows_pallas(x, interpret=True)
+    want_q, want_s = quantize_rows(x)
+    diff = np.abs(np.asarray(xq, np.int32) - np.asarray(want_q, np.int32))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+    np.testing.assert_allclose(np.asarray(xs[:, 0]), np.asarray(want_s),
+                               rtol=1e-6)
+    assert xs.shape == (512, 128)

@@ -62,7 +62,7 @@ def _kernel(xq_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_scr):
 def int8_matmul(
     xq: jnp.ndarray,      # (M, K) int8
     w: jnp.ndarray,       # (K, N) int8
-    xs: jnp.ndarray,      # (M,) float32 per-row activation scale
+    xs: jnp.ndarray,      # (M,) or lane-broadcast (M, 128) f32 act scale
     ws: jnp.ndarray,      # (N,) float32 per-column weight scale
     bias: jnp.ndarray = None,  # optional (N,) bias, fused into the epilogue
     block_m: int = 512,
@@ -86,7 +86,8 @@ def int8_matmul(
 
     # per-row scales as a (M, 128) lane-broadcast block so the epilogue can
     # read them as a normal VMEM tile (f32 min tile sublane 8 x lane 128)
-    xs2 = jnp.broadcast_to(xs.astype(jnp.float32)[:, None], (m, 128))
+    xs2 = (xs if xs.ndim == 2 else
+           jnp.broadcast_to(xs.astype(jnp.float32)[:, None], (m, 128)))
     ws2 = ws.astype(jnp.float32)[None, :]
     b2 = (jnp.zeros((1, n), jnp.float32) if bias is None
           else bias.astype(jnp.float32)[None, :])
@@ -123,6 +124,49 @@ def quantize_rows(x: jnp.ndarray):
     return xq, xs
 
 
+def _quant_kernel(x_ref, xq_ref, xs_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8) / 127.0
+    xq_ref[:] = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    xs_ref[:] = jnp.broadcast_to(xs, xs_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quantize_rows_pallas(x: jnp.ndarray, block_m: int = 512,
+                         interpret: bool = False):
+    """Single-HBM-pass row quantization: each (block_m, K) tile is read
+    once, row-maxed and quantized in VMEM (the XLA lowering splits the
+    reduce and the elementwise quant into two passes over x).
+
+    -> ((M, K) int8, (M, 128) f32 lane-broadcast scales), M % block_m == 0.
+    The scale layout matches what :func:`int8_matmul` consumes directly.
+    """
+    m, kdim = x.shape
+    block_m = min(block_m, m)
+    assert m % block_m == 0, (m, block_m)
+    xq, xs = pl.pallas_call(
+        _quant_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(m // block_m,),
+            in_specs=[pl.BlockSpec((block_m, kdim), lambda i: (i, 0))],
+            out_specs=[
+                pl.BlockSpec((block_m, kdim), lambda i: (i, 0)),
+                pl.BlockSpec((block_m, 128), lambda i: (i, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, kdim), jnp.int8),
+            jax.ShapeDtypeStruct((m, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x)
+    return xq, xs
+
+
 def int8_dense_apply(x, kernel_q, scale, bias=None, out_dtype=jnp.bfloat16,
                      interpret: bool = False):
     """Int8Dense forward through the Pallas GEMM.
@@ -137,12 +181,16 @@ def int8_dense_apply(x, kernel_q, scale, bias=None, out_dtype=jnp.bfloat16,
     for d in lead:
         m *= d
     x2 = x.reshape(m, kdim)
-    xq, xs = quantize_rows(x2)
     block_m = 512 if m >= 512 else 32
     pad = (-m) % block_m
     if pad:
-        xq = jnp.pad(xq, ((0, pad), (0, 0)))
-        xs = jnp.pad(xs, (0, pad))
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)), constant_values=1.0)
+    # single-pass Pallas row quantization (block bounded by VMEM at wide K)
+    qblock = 512 if kdim <= 4096 else 128
+    if (x2.shape[0] % qblock) == 0:
+        xq, xs = quantize_rows_pallas(x2, block_m=qblock, interpret=interpret)
+    else:
+        xq, xs = quantize_rows(x2)
     out = int8_matmul(xq, kernel_q, xs, scale, bias=bias, block_m=block_m,
                       out_dtype=out_dtype, interpret=interpret)
     if pad:
