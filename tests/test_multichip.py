@@ -145,3 +145,30 @@ def test_cfg_pair_dp_sharding_pipeline_shape():
         out = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(params, *args_s)
     assert out.shape[0] == 2
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_int8_inference_matches_single_device():
+    """--quant int8 composed with --mesh_dp/tp: the quantized tree shards
+    under the kernel_q/scale rules and the meshed forward (XLA int8 path;
+    the Pallas GEMM is single-chip-only by design) matches unsharded int8."""
+    from trajectorycrafter_tpu.ops.int8 import quantize_dit_params
+
+    model, params, args = _model_and_inputs(shard_activations=False)
+    qp = quantize_dit_params(params)
+    m8 = model.clone(quant="int8")
+    want = np.asarray(m8.apply({"params": qp}, *args))
+
+    model_s, _, _ = _model_and_inputs(shard_activations=True)
+    m8_s = model_s.clone(quant="int8")
+    mesh = make_mesh(dp=2, sp=1, tp=4)
+    params_s = jax.device_put(qp, dit_param_sharding(qp, mesh))
+    args_s = [
+        jax.device_put(a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1)))))
+        for a in args
+    ]
+    with jax.set_mesh(mesh):
+        got = np.asarray(jax.jit(
+            lambda p, *a: m8_s.apply({"params": p}, *a)
+        )(params_s, *args_s))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
