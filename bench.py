@@ -292,15 +292,21 @@ def main():
             uncond, cond = jnp.split(pred, 2, axis=0)
             return scheduler.step(state, uncond + guidance * (cond - uncond), i, latents)
 
-        lat8 = jax.random.normal(jax.random.PRNGKey(3), (1, f, h, w, 16), jnp.float32)
-        lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, 0)
-        lat8.block_until_ready()
-        t0 = time.time()
-        for i in range(1, iters + 1):
-            lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, i)
-        lat8.block_until_ready()
-        int8_step_s = (time.time() - t0) / iters
-        print(f"# int8 step: {int8_step_s:.3f}s", file=sys.stderr)
+        # best-effort: never let the int8 legs (incl. the Pallas GEMM
+        # compile) sink the bf16 headline artifact
+        try:
+            lat8 = jax.random.normal(jax.random.PRNGKey(3), (1, f, h, w, 16),
+                                     jnp.float32)
+            lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, 0)
+            lat8.block_until_ready()
+            t0 = time.time()
+            for i in range(1, iters + 1):
+                lat8 = denoise_step8(params8, lat8, text2, inpaint2, cross2, i)
+            lat8.block_until_ready()
+            int8_step_s = (time.time() - t0) / iters
+            print(f"# int8 step: {int8_step_s:.3f}s", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"# int8 576x1024 leg skipped: {e}", file=sys.stderr)
 
         # int8 at the reference's 384x672 resolution (the video-anchor
         # config); best-effort -- never let it sink the headline artifact
