@@ -400,6 +400,13 @@ def main():
                     json.load(f)["value"])
         except Exception:
             pass
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_e2e_int8.json")) as f:
+                result["e2e_sec_per_video_384x672_orchestrated_int8"] = float(
+                    json.load(f)["value"])
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

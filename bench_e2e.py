@@ -80,7 +80,8 @@ def build_full_scale_bundle(cfg, dtype=jnp.bfloat16):
     dit = CrossTransformer3DModel(
         num_attention_heads=48, attention_head_dim=64, num_layers=42,
         max_text_seq_length=226, use_rotary_positional_embeddings=True,
-        attention_impl="flash", dtype=dtype, param_dtype=dtype,
+        attention_impl="flash", quant=cfg.diffusion.quant,
+        dtype=dtype, param_dtype=dtype,
     )
     dit_args = (
         jnp.zeros((1, 2, 16, 24, 16), dtype), jnp.zeros((1, 226, 4096), dtype),
@@ -164,6 +165,8 @@ def main():
     small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
 
     cfg = TrajCrafterConfig()
+    if "--int8" in sys.argv:
+        cfg.diffusion.quant = "int8"  # DiT GEMMs on the int8 MXU
     cfg.video_path = synth_input_video("/tmp/bench_e2e_input.mp4")
     cfg.save_dir = "/tmp/bench_e2e_out"
     cfg.diffusion.prompt = "a slowly drifting abstract gradient scene"
@@ -204,12 +207,15 @@ def main():
         "vs_baseline": 0.0 if small else round(290.0 / e2e_s, 3),
         "caption_stage": "fixed_prompt",
         "offload": cfg.offload,
+        "quant": cfg.diffusion.quant,
         "cold_first_video_s": round(cold_s, 1),
     }
     if not small:
         result["e2e_sec_per_video_384x672_orchestrated"] = round(e2e_s, 1)
+        out = ("bench_e2e_int8.json" if cfg.diffusion.quant == "int8"
+               else "bench_e2e.json")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_e2e.json"), "w") as f:
+                               out), "w") as f:
             json.dump(result, f)
     print(json.dumps(result))
 
