@@ -57,3 +57,37 @@ def test_int8_dense_auto_uses_pallas_on_chip():
     auto = np.asarray(Int8Dense(256).apply({"params": qp}, x))
     xla = np.asarray(Int8Dense(256, impl="xla").apply({"params": qp}, x))
     np.testing.assert_allclose(auto, xla, atol=1e-2, rtol=1e-4)
+
+
+def test_fused_int8_ff_matches_unfused_on_chip():
+    """int8_ff_apply (gelu+group-requant epilogue -> group-dequant GEMM)
+    compiles through Mosaic and tracks the per-layer Int8Dense chain."""
+    from trajectorycrafter_tpu.ops.int8 import int8_dense_forward
+    from trajectorycrafter_tpu.ops.pallas.int8_matmul import int8_ff_apply
+
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    m, k, inner, n = 1024, 3072, 12288, 3072
+    x = jax.random.normal(k1, (m, k), jnp.float32)
+    w1 = jax.random.normal(k2, (k, inner), jnp.float32) * 0.02
+    b1 = jax.random.normal(k3, (inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(k4, (inner, n), jnp.float32) * 0.02
+    b2 = jax.random.normal(k5, (n,), jnp.float32) * 0.1
+
+    def qcols(w):
+        ws = jnp.maximum(jnp.abs(w).max(0), 1e-12) / 127.0
+        return jnp.clip(jnp.round(w / ws[None, :]), -127, 127).astype(jnp.int8), ws
+
+    wq1, ws1 = qcols(w1)
+    wq2, ws2 = qcols(w2)
+    fused = np.asarray(int8_ff_apply(x, wq1, ws1, b1, wq2, ws2, b2,
+                                     out_dtype=jnp.float32))
+    h = int8_dense_forward(x, wq1, ws1, bias=b1, dtype=jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    unfused = np.asarray(int8_dense_forward(h, wq2, ws2, bias=b2,
+                                            dtype=jnp.float32))
+    denom = max(np.abs(unfused).max(), 1e-6)
+    assert np.abs(fused - unfused).max() / denom < 0.02
+    cos = (fused * unfused).sum() / (
+        np.linalg.norm(fused) * np.linalg.norm(unfused))
+    assert cos > 0.9995

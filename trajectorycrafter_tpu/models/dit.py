@@ -56,22 +56,53 @@ def _dense_cls(quant: str):
 
 
 class FeedForward(nn.Module):
-    """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate')."""
+    """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate').
+
+    Under ``quant="int8"`` on an unmeshed TPU the whole chain runs as the
+    fused Pallas pair (ops/pallas/int8_matmul.py int8_ff_apply): GEMM1's
+    epilogue applies bias+gelu and group-requantizes to int8 in-VMEM, GEMM2
+    dequantizes per K-group while accumulating -- the (tokens, 4*dim)
+    intermediate never touches HBM in bf16.  Param tree is identical to the
+    per-layer Int8Dense path (proj_in/proj_out x kernel_q/scale/bias).
+    """
 
     dim: int
     mult: int = 4
     quant: str = "none"
+    fuse: Optional[bool] = None  # None = auto (fused when pallas applies)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        dense = _dense_cls(self.quant)
-        h = dense(self.dim * self.mult, dtype=self.dtype,
-                  param_dtype=self.param_dtype, name="proj_in")(x)
+        if self.quant == "int8":
+            from trajectorycrafter_tpu.ops.int8 import (
+                Int8DenseParams, int8_dense_forward, pallas_int8_ok)
+
+            inner = self.dim * self.mult
+            kq1, s1, b1 = Int8DenseParams(
+                inner, x.shape[-1], param_dtype=self.param_dtype,
+                name="proj_in")()
+            kq2, s2, b2 = Int8DenseParams(
+                self.dim, inner, param_dtype=self.param_dtype,
+                name="proj_out")()
+            use_pallas = pallas_int8_ok(x.shape[-1], self.dim)
+            fuse = use_pallas if self.fuse is None else self.fuse
+            if fuse:
+                from trajectorycrafter_tpu.ops.pallas.int8_matmul import (
+                    int8_ff_apply)
+                return int8_ff_apply(x, kq1, s1, b1, kq2, s2, b2,
+                                     out_dtype=self.dtype)
+            h = int8_dense_forward(x, kq1, s1, bias=b1, dtype=self.dtype,
+                                   use_pallas=use_pallas)
+            h = nn.gelu(h, approximate=True)
+            return int8_dense_forward(h, kq2, s2, bias=b2, dtype=self.dtype,
+                                      use_pallas=use_pallas)
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="proj_in")(x)
         h = nn.gelu(h, approximate=True)
-        return dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_out")(h)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj_out")(h)
 
 
 class LayerNormZero(nn.Module):

@@ -23,6 +23,60 @@ import jax
 import jax.numpy as jnp
 
 
+def pallas_int8_ok(in_features: int, out_features: int) -> bool:
+    """True when the blocked Pallas int8 kernels apply: unmeshed TPU backend
+    and MXU-worthy 256-aligned dims (the mesh path keeps XLA so pjit can
+    partition the GEMM)."""
+    return (jax.default_backend() == "tpu"
+            and jax.sharding.get_abstract_mesh().empty
+            and in_features % 256 == 0 and out_features % 256 == 0)
+
+
+def int8_dense_forward(x, kernel_q, scale, bias=None, dtype=jnp.float32,
+                       use_pallas: bool = False):
+    """Functional Int8Dense forward (dynamic per-token activation quant +
+    int8 GEMM + fp32 rescale); shared by :class:`Int8Dense` and the fused
+    FF fallback path."""
+    if use_pallas:
+        from trajectorycrafter_tpu.ops.pallas.int8_matmul import (
+            int8_dense_apply)
+        return int8_dense_apply(x, kernel_q, scale, bias=bias, out_dtype=dtype)
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * xs * scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class Int8DenseParams(nn.Module):
+    """Declares an Int8Dense-compatible param leaf set (kernel_q/scale/bias)
+    without running a forward -- lets a parent module (the fused FF) own the
+    apply while keeping the exact Int8Dense param tree and converter/
+    checkpoint contracts."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (self.in_features, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype) if self.use_bias \
+            else None
+        return kernel_q, scale, bias
+
+
 class Int8Dense(nn.Module):
     """Dense with int8 weights + dynamic per-token int8 activations.
 
@@ -46,9 +100,7 @@ class Int8Dense(nn.Module):
     def _use_pallas(self, x, in_features: int) -> bool:
         if self.impl in ("xla", "pallas"):
             return self.impl == "pallas"
-        return (jax.default_backend() == "tpu"
-                and jax.sharding.get_abstract_mesh().empty
-                and in_features % 256 == 0 and self.features % 256 == 0)
+        return pallas_int8_ok(in_features, self.features)
 
     @nn.compact
     def __call__(self, x):
@@ -60,22 +112,9 @@ class Int8Dense(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), self.param_dtype) if self.use_bias \
             else None
-        if self._use_pallas(x, in_features):
-            from trajectorycrafter_tpu.ops.pallas.int8_matmul import (
-                int8_dense_apply)
-            return int8_dense_apply(x, kernel_q, scale, bias=bias,
-                                    out_dtype=self.dtype)
-        xf = x.astype(jnp.float32)
-        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
-        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * xs * scale
-        if bias is not None:
-            y = y + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        return int8_dense_forward(
+            x, kernel_q, scale, bias=bias, dtype=self.dtype,
+            use_pallas=self._use_pallas(x, in_features))
 
 
 def quantize_dense_params(p: dict) -> dict:

@@ -116,6 +116,217 @@ def int8_matmul(
     )(xq, w, xs2, ws2, b2)
 
 
+def _gelu_tanh(x):
+    """diffusers 'gelu-approximate' (tanh), computed in f32 in-kernel."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _kernel_gelu_quant(xq_ref, w_ref, xs_ref, ws_ref, b_ref, yq_ref, ys_ref,
+                       acc_scr):
+    """int8 GEMM whose epilogue applies bias+tanh-gelu and re-quantizes the
+    activation tile to int8 with a per-(row, N-tile) group scale -- the FF
+    intermediate never round-trips HBM in bf16."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    acc_scr[:] += jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _out():
+        y = (acc_scr[:].astype(jnp.float32)
+             * xs_ref[:, :1] * ws_ref[:] + b_ref[:])
+        y = _gelu_tanh(y)
+        s = jnp.maximum(jnp.max(jnp.abs(y), axis=1, keepdims=True), 1e-8) / 127.0
+        yq_ref[:] = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+        ys_ref[:] = jnp.broadcast_to(s, ys_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def int8_matmul_gelu_quant(
+    xq: jnp.ndarray,      # (M, K) int8
+    w: jnp.ndarray,       # (K, N) int8
+    xs: jnp.ndarray,      # (M,) or (M, 128) f32 act scale
+    ws: jnp.ndarray,      # (N,) f32 per-column weight scale
+    bias: jnp.ndarray = None,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
+    interpret: bool = False,
+):
+    """-> ((M, N) int8, (M, (N/block_n)*128) f32 lane-broadcast group scales)
+    = group-quantized gelu((xq @ w) * xs * ws + bias).  The quantization
+    group equals ``block_n``; feed the result to :func:`int8_matmul_gscale`
+    with ``block_k == block_n``."""
+    m, kdim = xq.shape
+    n = w.shape[1]
+    block_m = min(block_m, m)
+    block_n = _fit_block(block_n, n)
+    block_k = _fit_block(block_k, kdim)
+    assert m % block_m == 0 and n % block_n == 0 and kdim % block_k == 0, (
+        (m, kdim, n), (block_m, block_k, block_n))
+    n_groups = n // block_n
+
+    xs2 = (xs if xs.ndim == 2 else
+           jnp.broadcast_to(xs.astype(jnp.float32)[:, None], (m, 128)))
+    ws2 = ws.astype(jnp.float32)[None, :]
+    b2 = (jnp.zeros((1, n), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)[None, :])
+
+    grid = (m // block_m, n_groups, kdim // block_k)
+    return pl.pallas_call(
+        _kernel_gelu_quant,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_m, 128), lambda i, j, k: (i, 0)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+                pl.BlockSpec((block_m, 128), lambda i, j, k: (i, j)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), jnp.int8),
+            jax.ShapeDtypeStruct((m, n_groups * 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, w, xs2, ws2, b2)
+
+
+def _kernel_gscale(xq_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_scr):
+    """int8 GEMM with per-(row, K-group) activation scales: each K-block's
+    int32 partial product is dequantized into an f32 accumulator (the
+    consumer of :func:`int8_matmul_gelu_quant`'s group-quantized output)."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    part = jax.lax.dot_general(
+        xq_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_scr[:] += part.astype(jnp.float32) * xs_ref[:, :1]
+
+    @pl.when(k == n_k - 1)
+    def _out():
+        o_ref[:] = (acc_scr[:] * ws_ref[:] + b_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def int8_matmul_gscale(
+    xq: jnp.ndarray,      # (M, K) int8, group-quantized along K
+    w: jnp.ndarray,       # (K, N) int8
+    xs: jnp.ndarray,      # (M, (K/block_k)*128) f32 lane-broadcast group scales
+    ws: jnp.ndarray,      # (N,) f32
+    bias: jnp.ndarray = None,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """-> (M, N) out_dtype with per-K-group activation dequantization.
+    ``block_k`` must equal the producer's quantization group."""
+    m, kdim = xq.shape
+    n = w.shape[1]
+    block_m = min(block_m, m)
+    block_n = _fit_block(block_n, n)
+    assert m % block_m == 0 and n % block_n == 0 and kdim % block_k == 0, (
+        (m, kdim, n), (block_m, block_k, block_n))
+    assert xs.shape == (m, (kdim // block_k) * 128), (xs.shape, m, kdim, block_k)
+
+    ws2 = ws.astype(jnp.float32)[None, :]
+    b2 = (jnp.zeros((1, n), jnp.float32) if bias is None
+          else bias.astype(jnp.float32)[None, :])
+
+    grid = (m // block_m, n // block_n, kdim // block_k)
+    return pl.pallas_call(
+        _kernel_gscale,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+                pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+                pl.BlockSpec((block_m, 128), lambda i, j, k: (i, k)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+                pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, w, xs, ws2, b2)
+
+
+def int8_ff_apply(x, kernel_q1, scale1, bias1, kernel_q2, scale2, bias2,
+                  out_dtype=jnp.bfloat16, group: int = 1024,
+                  interpret: bool = False):
+    """Fused int8 FF chain: x -> GEMM1(+bias+gelu+group-requant, in-epilogue)
+    -> GEMM2(group-dequant accumulate).  The (M, 4*dim) intermediate stays
+    int8 end to end: vs the unfused path (GEMM1 bf16 out -> XLA gelu ->
+    row-requant -> GEMM2) it saves the bf16 write+read and the extra quant
+    pass over the widest activation in the network (~6 GB HBM traffic per
+    42-block step at the production shape).
+
+    Replaces the reference FF (crosstransformer3d.py:140 block feed_forward,
+    diffusers FeedForward gelu-approximate) under ``quant="int8"`` on an
+    unmeshed TPU.
+    """
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    n_out = kernel_q2.shape[1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, kdim)
+    block_m = 512 if m >= 512 else 32
+    pad = (-m) % block_m
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)), constant_values=1.0)
+    qblock = 512 if kdim <= 4096 else 128
+    if (x2.shape[0] % qblock) == 0:
+        xq, xs = quantize_rows_pallas(x2, block_m=qblock, interpret=interpret)
+    else:
+        xq, xs = quantize_rows(x2)
+    group = _fit_block(group, kernel_q1.shape[1])
+    hq, hs = int8_matmul_gelu_quant(
+        xq, kernel_q1, xs, scale1, bias=bias1, block_m=block_m,
+        block_n=group, interpret=interpret)
+    out = int8_matmul_gscale(
+        hq, kernel_q2, hs, scale2, bias=bias2, block_m=block_m,
+        block_k=group, out_dtype=out_dtype, interpret=interpret)
+    if pad:
+        out = out[:m]
+    return out.reshape(*lead, n_out)
+
+
 def quantize_rows(x: jnp.ndarray):
     """Per-row symmetric int8: (M, K) float -> ((M, K) int8, (M,) f32)."""
     xf = x.astype(jnp.float32)
