@@ -53,3 +53,22 @@ def test_pad_to_length(rng):
     assert out.shape[0] == 7
     np.testing.assert_allclose(out[3:], np.repeat(frames[-1:], 4, 0))
     assert pad_to_length(frames, 2).shape[0] == 2
+
+
+def test_video_save_queue_overlaps_and_propagates(tmp_path):
+    from trajectorycrafter_tpu.utils.video import VideoSaveQueue, read_video_frames
+
+    frames = np.random.rand(5, 32, 48, 3).astype(np.float32)
+    q = VideoSaveQueue()
+    q.save(frames, str(tmp_path / "a.mp4"), fps=5)
+    q.save(frames, str(tmp_path / "b.mp4"), fps=5)
+    q.join()
+    for name in ("a.mp4", "b.mp4"):
+        got = read_video_frames(str(tmp_path / name), 5, 1, width=48, height=32)
+        assert got.shape == (5, 32, 48, 3)
+
+    # failures surface at join, not silently
+    q2 = VideoSaveQueue()
+    q2.save(np.zeros((0, 8, 8, 3)), str(tmp_path / "bad.mp4"))
+    with pytest.raises(RuntimeError, match="bad.mp4"):
+        q2.join()

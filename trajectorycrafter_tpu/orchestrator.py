@@ -43,7 +43,8 @@ from trajectorycrafter_tpu.ops.resize import resize_nearest
 from trajectorycrafter_tpu.ops.splat import forward_warp_batch
 from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
 from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
-from trajectorycrafter_tpu.utils.video import pad_to_length, read_video_frames, save_video
+from trajectorycrafter_tpu.utils.video import (
+    VideoSaveQueue, pad_to_length, read_video_frames, save_video)
 
 
 @dataclass
@@ -266,11 +267,14 @@ class TrajCrafter:
         )[:, 0]
 
         os.makedirs(cfg.save_dir, exist_ok=True)
-        save_video(frames_s[: f - save_skip] if save_skip else frames_s,
+        # queue the condition mp4s on a background thread: the h264 encodes
+        # overlap the diffusion stage below instead of delaying it
+        saves = VideoSaveQueue()
+        saves.save(frames_s[: f - save_skip] if save_skip else frames_s,
                    os.path.join(cfg.save_dir, "input.mp4"), fps=cfg.fps)
-        save_video(cond_s[save_skip:] if save_skip else cond_s,
+        saves.save(cond_s[save_skip:] if save_skip else cond_s,
                    os.path.join(cfg.save_dir, "render.mp4"), fps=cfg.fps)
-        save_video(np.repeat(masks_s[..., None], 3, -1)[save_skip:] if save_skip
+        saves.save(np.repeat(masks_s[..., None], 3, -1)[save_skip:] if save_skip
                    else np.repeat(masks_s[..., None], 3, -1),
                    os.path.join(cfg.save_dir, "mask.mp4"), fps=cfg.fps)
 
@@ -301,6 +305,7 @@ class TrajCrafter:
             steps_per_dispatch=cfg.diffusion.steps_per_dispatch,
         )
         gen = np.asarray(sample[0])  # (F, H, W, 3) in [0, 1]
+        saves.join()
         save_video(gen[save_skip:] if save_skip else gen,
                    os.path.join(cfg.save_dir, "gen.mp4"), fps=cfg.fps)
 

@@ -102,3 +102,38 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8) -> None:
             f = cv2.cvtColor(f, cv2.COLOR_RGB2BGR)
         writer.write(f)
     writer.release()
+
+
+class VideoSaveQueue:
+    """Background-thread mp4 writes: the orchestrator queues the condition
+    videos (input/render/mask) so host h264 encoding overlaps the TPU
+    diffusion stage instead of serializing before it (SURVEY.md section 7
+    "host ops as pipeline prologue").  ``join()`` blocks until all writes
+    land and re-raises the first failure."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._threads: List = []
+        self._errs: List = []
+
+    def save(self, frames: np.ndarray, path: str, fps: int = 8) -> None:
+        def run():
+            try:
+                save_video(frames, path, fps=fps)
+            except Exception as e:  # noqa: BLE001 -- reported via join()
+                self._errs.append((path, e))
+
+        t = self._threading.Thread(target=run, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def join(self) -> None:
+        for t in self._threads:
+            t.join()
+        self._threads.clear()
+        if self._errs:
+            path, err = self._errs[0]
+            self._errs.clear()
+            raise RuntimeError(f"async video save failed for {path}") from err
