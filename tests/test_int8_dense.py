@@ -196,3 +196,11 @@ def test_quantize_rows_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(xs[:, 0]), np.asarray(want_s),
                                rtol=1e-6)
     assert xs.shape == (512, 128)
+
+
+def test_int8_impl_env_escape_hatch(monkeypatch):
+    """TRAJCRAFTER_INT8_IMPL=xla pins auto routing back to the XLA lowering."""
+    from trajectorycrafter_tpu.ops.int8 import pallas_int8_ok
+
+    monkeypatch.setenv("TRAJCRAFTER_INT8_IMPL", "xla")
+    assert not pallas_int8_ok(3072, 3072)

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 def pallas_int8_ok(in_features: int, out_features: int) -> bool:
     """True when the blocked Pallas int8 kernels apply: unmeshed TPU backend
     and MXU-worthy 256-aligned dims (the mesh path keeps XLA so pjit can
-    partition the GEMM)."""
+    partition the GEMM).  ``TRAJCRAFTER_INT8_IMPL=xla`` is the escape hatch
+    that pins every auto-routed int8 GEMM back to the XLA lowering (read at
+    trace time -- clear jit caches before flipping it)."""
+    import os
+
+    if os.environ.get("TRAJCRAFTER_INT8_IMPL") == "xla":
+        return False
     return (jax.default_backend() == "tpu"
             and jax.sharding.get_abstract_mesh().empty
             and in_features % 256 == 0 and out_features % 256 == 0)
