@@ -58,12 +58,15 @@ def _dense_cls(quant: str):
 class FeedForward(nn.Module):
     """Linear -> tanh-gelu -> Linear (diffusers 'gelu-approximate').
 
-    Under ``quant="int8"`` on an unmeshed TPU the whole chain runs as the
-    fused Pallas pair (ops/pallas/int8_matmul.py int8_ff_apply): GEMM1's
-    epilogue applies bias+gelu and group-requantizes to int8 in-VMEM, GEMM2
-    dequantizes per K-group while accumulating -- the (tokens, 4*dim)
-    intermediate never touches HBM in bf16.  Param tree is identical to the
-    per-layer Int8Dense path (proj_in/proj_out x kernel_q/scale/bias).
+    Under ``quant="int8"`` the chain runs two XLA int8 GEMMs by default
+    (measured fastest on-chip, bench_int8.py: 35.1 ms vs 35.4 fused-Pallas
+    vs 52.9 bf16 at the production shape).  ``TRAJCRAFTER_INT8_IMPL=pallas``
+    opts into the fused Pallas pair (ops/pallas/int8_matmul.py
+    int8_ff_apply): GEMM1's epilogue applies bias+gelu and group-requantizes
+    to int8 in-VMEM, GEMM2 dequantizes per K-group while accumulating -- the
+    (tokens, 4*dim) intermediate never touches HBM in bf16.  Param tree is
+    identical to the per-layer Int8Dense path (proj_in/proj_out x
+    kernel_q/scale/bias).
     """
 
     dim: int

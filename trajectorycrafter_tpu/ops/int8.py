@@ -1,11 +1,11 @@
 """int8 MXU GEMMs for the DiT's projection/FF layers (opt-in).
 
 v5e's MXU runs int8 x int8 -> int32 at up to 2x the bf16 rate.  Measured on
-this chip at the production FF shape (M=20k, 3072->12288->3072 chain,
-docs/COVERAGE.md round-3 notes): 1.39x for pure int8 chains, 1.24x
-end-to-end with dynamic per-token activation quantization -- XLA does not
-reach the nominal 2x.  Quality: per-GEMM mean relative error ~4% (cosine
-0.9999) vs bf16.
+this chip at the production FF shape (M=60416 CFG-pair tokens,
+3072->12288->3072 chain, bench_int8.py chained timing, docs/COVERAGE.md
+round-3 notes): 1.507x end-to-end with dynamic per-token activation
+quantization (260 TF/s vs 172 bf16) -- XLA does not reach the nominal 2x.
+Quality: per-GEMM mean relative error ~4% (cosine 0.9999) vs bf16.
 
 Scheme: weights per-output-channel symmetric int8 (quantized once, host
 side); activations per-token symmetric int8 computed dynamically in the
@@ -24,14 +24,19 @@ import jax.numpy as jnp
 
 
 def pallas_int8_ok(in_features: int, out_features: int) -> bool:
-    """True when the blocked Pallas int8 kernels apply: unmeshed TPU backend
-    and MXU-worthy 256-aligned dims (the mesh path keeps XLA so pjit can
-    partition the GEMM).  ``TRAJCRAFTER_INT8_IMPL=xla`` is the escape hatch
-    that pins every auto-routed int8 GEMM back to the XLA lowering (read at
-    trace time -- clear jit caches before flipping it)."""
+    """True when auto-routing should use the blocked Pallas int8 kernels.
+
+    Measured on-chip at the production FF shape (M=60416 CFG-pair tokens,
+    3072->12288->3072, bench_int8.py chained timing, 2026-08-18): XLA int8
+    35.1 ms (1.507x bf16) vs fused Pallas FF chain 35.4 ms vs unfused
+    Pallas GEMMs 40.8 ms -- XLA's int8 lowering ties-or-beats Mosaic, so
+    "auto" stays on XLA and the Pallas kernels are opt-in via
+    ``TRAJCRAFTER_INT8_IMPL=pallas`` (unmeshed TPU + 256-aligned dims only;
+    the mesh path keeps XLA so pjit can partition the GEMM).  The env var
+    is read at trace time -- clear jit caches before flipping it."""
     import os
 
-    if os.environ.get("TRAJCRAFTER_INT8_IMPL") == "xla":
+    if os.environ.get("TRAJCRAFTER_INT8_IMPL") != "pallas":
         return False
     return (jax.default_backend() == "tpu"
             and jax.sharding.get_abstract_mesh().empty
@@ -92,9 +97,9 @@ class Int8Dense(nn.Module):
 
     ``impl``: "xla" = lax.dot_general int8 path; "pallas" = the blocked
     Pallas GEMM (ops/pallas/int8_matmul.py) with the dequant epilogue fused
-    in-kernel; "auto" = pallas on an unmeshed TPU backend at MXU-worthy
-    shapes, xla otherwise (the mesh path keeps XLA so pjit can partition
-    the GEMM).
+    in-kernel; "auto" = xla (measured faster on-chip, see pallas_int8_ok)
+    unless ``TRAJCRAFTER_INT8_IMPL=pallas`` opts the unmeshed-TPU path into
+    the Pallas kernels.
     """
 
     features: int
