@@ -47,6 +47,29 @@ def test_causal_conv_streaming_equivalence(rng):
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
 
 
+def test_causal_conv_decomposed_matches_conv3d(rng):
+    """The shifted-2D-conv lowering (TPU fast path, auto on-chip) matches
+    the conv3d lowering on identical params -- same kernel layout, only the
+    accumulation order differs."""
+    x = jnp.asarray(rng.standard_normal((2, 7, 8, 10, 4)).astype(np.float32))
+    conv3d = CausalConv3d(6, (3, 3, 3), decompose=False)
+    conv2d = CausalConv3d(6, (3, 3, 3), decompose=True)
+    params = conv3d.init(jax.random.PRNGKey(1), x, None)["params"]
+    # identical param trees (checkpoint-interchangeable)
+    p2 = conv2d.init(jax.random.PRNGKey(2), x, None)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    assert params["conv"]["kernel"].shape == p2["conv"]["kernel"].shape
+    want, _ = conv3d.apply({"params": params}, x, None)
+    got, cache = conv2d.apply({"params": params}, x, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # streaming cache is unaffected by the lowering
+    out1, cache = conv2d.apply({"params": params}, x[:, :4], None)
+    out2, _ = conv2d.apply({"params": params}, x[:, 4:], cache)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([out1, out2], axis=1)),
+        np.asarray(want), atol=2e-5)
+
+
 def test_encode_decode_shapes_49(tiny_vae, rng):
     """49 frames -> 13 latent frames -> 49 frames (reference chunking)."""
     model, params = tiny_vae

@@ -40,17 +40,73 @@ def _sub(cache: Cache, name: str) -> Cache:
     return cache.get(name)
 
 
+class _ShiftedConv2dStack(nn.Module):
+    """conv3d expressed as kt temporally-shifted 2D convs, summed.
+
+    Mathematically identical to the (kt,kh,kw) VALID conv3d (same kernel
+    layout, so the param tree and checkpoints are interchangeable with
+    nn.Conv), but measured 1.22-1.30x faster on v5e at the VAE decoder's hot
+    shapes (chained-dispatch probe 2026-08-18: 128ch@224x1024 25.9 -> 20.0
+    ms, 256ch@288x512 42.2 -> 34.7 ms) -- XLA tiles the batched 2D convs
+    onto the MXU better than the 3D conv.  Requires temporal stride 1 /
+    dilation 1; input must already be spatially padded (VALID).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel_size
+        # plain lecun_normal matches nn.Conv's default (fan_in = C*kt*kh*kw)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kt, kh, kw, x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        b, tp, h, w, c = x.shape
+        t = tp - (kt - 1)
+        dn = jax.lax.conv_dimension_numbers(
+            (b * t, h, w, c), (kh, kw, c, self.features),
+            ("NHWC", "HWIO", "NHWC"))
+        out = None
+        for toff in range(kt):
+            xi = jax.lax.dynamic_slice_in_dim(x, toff, t, axis=1)
+            o = jax.lax.conv_general_dilated(
+                xi.reshape(b * t, h, w, c), kernel[toff], (1, 1), "VALID",
+                dimension_numbers=dn)
+            out = o if out is None else out + o
+        ho, wo = out.shape[1], out.shape[2]
+        return out.reshape(b, t, ho, wo, self.features) + bias
+
+
 class CausalConv3d(nn.Module):
     """Temporally causal conv3d with an explicit streaming cache.
 
     The cache holds the last (kt-1) input frames; when no cache is given the
     clip's first frame is replicated (reference :136-146).
+
+    ``decompose``: lower the temporal taps as kt shifted 2D convs summed
+    (:class:`_ShiftedConv2dStack`).  None = auto: on for stride-1/dilation-1
+    kt>1 convs on the TPU backend when the chunk's temporal extent is >= 6
+    output frames, off elsewhere.  Chained on-chip probes (2026-08-18):
+    at T=8 (the decoder's hot chunks) the decomposition wins 1.2-1.3x
+    (128ch@224x1024 25.9 -> 20.0 ms; T=8 128ch@576x1024 57.0 -> 43.2 ms),
+    at T=4 (encoder chunks) it loses (34.9 -> 44.6 ms) -- XLA's batched 2D
+    conv tiling needs the deeper N=B*T batch to beat the 3D conv.
+    Summation order differs from conv3d so results match only to
+    accumulation rounding.
     """
 
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     stride: int = 1  # temporal stride
     dilation: int = 1
+    decompose: Optional[bool] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -71,16 +127,27 @@ class CausalConv3d(nn.Module):
             ((0, 0), (0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
             mode="constant",
         )
-        y = nn.Conv(
-            self.features,
-            kernel_size=(kt, kh, kw),
-            strides=(self.stride, 1, 1),
-            kernel_dilation=(self.dilation, 1, 1),
-            padding="VALID",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(x)
+        eligible = kt > 1 and self.stride == 1 and self.dilation == 1
+        decompose = self.decompose
+        if decompose is None:
+            t_out = x.shape[1] - (kt - 1) if eligible else 0
+            decompose = (eligible and t_out >= 6
+                         and jax.default_backend() == "tpu")
+        if decompose and eligible:
+            y = _ShiftedConv2dStack(
+                self.features, self.kernel_size, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv")(x)
+        else:
+            y = nn.Conv(
+                self.features,
+                kernel_size=(kt, kh, kw),
+                strides=(self.stride, 1, 1),
+                kernel_dilation=(self.dilation, 1, 1),
+                padding="VALID",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
         return y, new_cache
 
 
