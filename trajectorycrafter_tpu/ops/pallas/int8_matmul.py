@@ -310,8 +310,8 @@ def int8_ff_apply(x, kernel_q1, scale1, bias1, kernel_q2, scale2, bias2,
     pad = (-m) % block_m
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)), constant_values=1.0)
-    qblock = 512 if kdim <= 4096 else 128
-    if (x2.shape[0] % qblock) == 0:
+    qblock = _quant_block_m(x2.shape[0], kdim)
+    if qblock is not None:
         xq, xs = quantize_rows_pallas(x2, block_m=qblock, interpret=interpret)
     else:
         xq, xs = quantize_rows(x2)
@@ -325,6 +325,23 @@ def int8_ff_apply(x, kernel_q1, scale1, bias1, kernel_q2, scale2, bias2,
     if pad:
         out = out[:m]
     return out.reshape(*lead, n_out)
+
+
+def _quant_block_m(m: int, kdim: int):
+    """Largest row block for :func:`quantize_rows_pallas` that (a) divides
+    ``m`` and (b) keeps the kernel inside the 16 MB scoped-VMEM limit.
+
+    In-flight VMEM per row is ~14*K bytes (f32 input x2 buffers, the f32
+    stack temp, int8 output x2, scales); budget 11 MB leaves headroom for
+    Mosaic's own scratch.  Returns None when no block >= 8 fits (fall back
+    to the XLA lowering).
+    """
+    budget = 11 * 1024 * 1024
+    cap = max(budget // (14 * kdim), 0)
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if bm <= cap and m % bm == 0:
+            return bm
+    return None
 
 
 def quantize_rows(x: jnp.ndarray):
@@ -396,9 +413,9 @@ def int8_dense_apply(x, kernel_q, scale, bias=None, out_dtype=jnp.bfloat16,
     pad = (-m) % block_m
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)), constant_values=1.0)
-    # single-pass Pallas row quantization (block bounded by VMEM at wide K)
-    qblock = 512 if kdim <= 4096 else 128
-    if (x2.shape[0] % qblock) == 0:
+    # single-pass Pallas row quantization (block bounded by scoped VMEM)
+    qblock = _quant_block_m(x2.shape[0], kdim)
+    if qblock is not None:
         xq, xs = quantize_rows_pallas(x2, block_m=qblock, interpret=interpret)
     else:
         xq, xs = quantize_rows(x2)
