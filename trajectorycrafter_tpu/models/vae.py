@@ -20,6 +20,7 @@ for bit-comparable outputs because the causal caches see the same boundaries.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -130,9 +131,17 @@ class CausalConv3d(nn.Module):
         eligible = kt > 1 and self.stride == 1 and self.dilation == 1
         decompose = self.decompose
         if decompose is None:
-            t_out = x.shape[1] - (kt - 1) if eligible else 0
-            decompose = (eligible and t_out >= 6
-                         and jax.default_backend() == "tpu")
+            # escape hatch mirroring TRAJCRAFTER_INT8_IMPL: force the
+            # lowering if a Mosaic/XLA regression ever flips the measured win
+            impl = os.environ.get("TRAJCRAFTER_CONV3D_IMPL")
+            if impl == "conv3d":
+                decompose = False
+            elif impl == "decomposed":
+                decompose = True
+            else:
+                t_out = x.shape[1] - (kt - 1) if eligible else 0
+                decompose = (eligible and t_out >= 6
+                             and jax.default_backend() == "tpu")
         if decompose and eligible:
             y = _ShiftedConv2dStack(
                 self.features, self.kernel_size, dtype=self.dtype,
