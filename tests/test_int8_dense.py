@@ -198,6 +198,25 @@ def test_quantize_rows_pallas_matches_xla(rng):
     assert xs.shape == (512, 128)
 
 
+def test_quant_block_m_respects_vmem_budget():
+    """The row-quant block must divide M and keep ~14*block*K bytes of
+    in-flight VMEM under the 11 MB budget (the fixed 512/128 blocks OOMed
+    the 16 MB scoped-VMEM limit on chip at K=3072/12288)."""
+    from trajectorycrafter_tpu.ops.pallas.int8_matmul import _quant_block_m
+
+    budget = 11 * 1024 * 1024
+    for m, k in [(1024, 3072), (1024, 12288), (512, 12288), (60416, 3072),
+                 (512, 256), (8, 1024)]:
+        bm = _quant_block_m(m, k)
+        assert bm is not None and m % bm == 0
+        assert 14 * bm * k <= budget, (m, k, bm)
+    # production DiT shapes keep the single-pass path
+    assert _quant_block_m(60416, 3072) >= 128
+    # no fitting divisor -> None (fall back to the XLA lowering)
+    assert _quant_block_m(7, 3072) is None
+    assert _quant_block_m(1024, 10**7) is None
+
+
 def test_int8_impl_env_escape_hatch(monkeypatch):
     """Auto routing defaults to XLA (measured faster on-chip, bench_int8.py);
     TRAJCRAFTER_INT8_IMPL=pallas is the opt-in, gated on an unmeshed TPU."""
