@@ -174,3 +174,26 @@ def test_native_captioner_end_to_end(hf_model, rng, tmp_path):
     out = caption(rng.uniform(0, 1, (30, 40, 3)).astype(np.float32))
     assert isinstance(out, str)
     assert out != "FALLBACK"  # the native path ran, not the fixed prompt
+
+    # HF max_length counts the BOS the decoder starts from: 6 -> 5 new
+    # tokens (transformers' generate emits max_length-1); max_new_tokens
+    # passes through untouched and wins over max_length
+    import trajectorycrafter_tpu.models.blip2 as blip2_mod
+    seen = {}
+    real = blip2_mod.generate_caption_ids
+
+    def spy(model, p, img, max_new_tokens, eos_token_id):
+        seen["max_new"] = max_new_tokens
+        return real(model, p, img, max_new_tokens=max_new_tokens,
+                    eos_token_id=eos_token_id)
+
+    frame = rng.uniform(0, 1, (30, 40, 3)).astype(np.float32)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(blip2_mod, "generate_caption_ids", spy)
+        build_captioner(str(tmp_path))(frame)
+        assert seen["max_new"] == 5
+        (tmp_path / "generation_config.json").write_text(
+            json.dumps({"eos_token_id": TINY.eos_token_id,
+                        "max_length": 6, "max_new_tokens": 3}))
+        build_captioner(str(tmp_path))(frame)
+        assert seen["max_new"] == 3

@@ -53,7 +53,7 @@ def test_parity_vs_transformers(tmp_path, tok):
     hf = transformers.GPT2Tokenizer(str(vocab_file), str(merges_file),
                                     unk_token="<|endoftext|>")
     for text in ("hello world", "a 123 or llo", "héllo world",
-                 "why, hello..."):
+                 "why, hello...", "snake_case or_ _12", "a__b", "_"):
         assert tok.encode(text) == hf.encode(text), text
         assert tok.decode(tok.encode(text)) == hf.decode(hf.encode(text))
 

@@ -115,6 +115,12 @@ def test_svd_vae_chunked(tiny_svd_vae, rng):
     # f <= chunk falls back to the one-shot program bit-for-bit
     np.testing.assert_array_equal(
         np.asarray(svd_decode_chunked(vae, params, z, chunk=8)), full)
+    # the final partial chunk decodes at its TRUE length (published
+    # decode_chunk_size loop), not replicate-padded: frame 4 of [2,2,1]
+    # chunking == a direct 1-frame decode
+    last = np.asarray(vae.apply({"params": params}, z[:, 4:],
+                                method=AutoencoderKLTemporalDecoder.decode))
+    np.testing.assert_array_equal(dec[:, 4:], last)
 
 
 def test_clip_parity_vs_transformers(rng):

@@ -73,6 +73,25 @@ def test_resolve_release_passthrough(rng):
     assert sp._device is None
 
 
+def test_host_or_device_avoids_materialization(rng):
+    """Sharded placement reads the host tree directly -- resolving first
+    would transiently hold the full unsharded tree on the default device."""
+    plain = _tree(rng)
+    assert off.host_or_device(plain) is plain
+    sp = off.StageParams(plain, offload=True)
+    assert off.host_or_device(sp) is plain
+    assert sp._device is None  # no device materialization happened
+    made = {"n": 0}
+
+    def make():
+        made["n"] += 1
+        return plain
+
+    sp2 = off.StageParams(materialize=make, offload=True)
+    assert off.host_or_device(sp2) is plain  # no host copy -> resolves
+    assert made["n"] == 1
+
+
 def test_host_cast_preserves_int8_scales(rng):
     tree = {
         "blk": {

@@ -177,6 +177,13 @@ def test_strength_truncates_and_inits_from_video(tiny_pipeline, rng):
     with pytest.raises(NotImplementedError):
         pndm(pe, ne, video, mask, reference, strength=0.5, **kwargs)
 
+    # strength so small it truncates EVERY step must fail loudly (the
+    # reference hits an empty timestep tensor); silently decoding the
+    # un-denoised input is the failure mode being guarded
+    with pytest.raises(ValueError, match="truncates every denoise step"):
+        tiny_pipeline(pe, ne, video, mask, reference, strength=0.1,
+                      **kwargs)  # int(4 * 0.1) == 0
+
 
 def test_registry_samplers_run_end_to_end(tiny_pipeline, rng):
     """Every CLI sampler-menu entry (reference inference.py:87) drives the

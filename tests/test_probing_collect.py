@@ -131,6 +131,15 @@ def test_collect_and_load_activation_dataset(tiny_setup, rng, tmp_path):
     with pytest.raises(FileNotFoundError):
         ActivationDataset(str(tmp_path), 999, 0)
 
+    # re-collecting into the same root with a different subset must not pick
+    # up the first run's leftover sample dirs (manifest.json gates loading)
+    collect_activation_dataset(
+        model, params, scheduler, sch_state, samples[1:2], timesteps, blocks,
+        str(tmp_path))
+    for t in timesteps:
+        ds = ActivationDataset(str(tmp_path), t, 0)
+        assert len(ds) == 1  # only s1; stale s0 dir is ignored
+
 
 @pytest.mark.slow
 def test_probe_depth_collect_end_to_end(rng, tmp_path, capsys):

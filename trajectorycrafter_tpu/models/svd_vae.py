@@ -209,13 +209,20 @@ def svd_decode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
     if f <= chunk:
         return vae.apply({"params": params}, z,
                          method=AutoencoderKLTemporalDecoder.decode)
-    x, _ = _pad_frames(z, chunk)
+    # the final partial chunk is decoded at its TRUE length (one extra
+    # compiled shape), matching the published decode_chunk_size loop --
+    # replicate-padding it would blend fake trailing frames into the last
+    # real ones through the decoder's time mixing
     outs = [
-        vae.apply({"params": params}, x[:, i : i + chunk],
+        vae.apply({"params": params}, z[:, i : i + chunk],
                   method=AutoencoderKLTemporalDecoder.decode)
-        for i in range(0, x.shape[1], chunk)
+        for i in range(0, f - chunk + 1, chunk)
     ]
-    return jnp.concatenate(outs, axis=1)[:, :f]
+    rem = f % chunk
+    if rem:
+        outs.append(vae.apply({"params": params}, z[:, f - rem :],
+                              method=AutoencoderKLTemporalDecoder.decode))
+    return jnp.concatenate(outs, axis=1)
 
 
 class AutoencoderKLTemporalDecoder(nn.Module):

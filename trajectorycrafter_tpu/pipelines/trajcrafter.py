@@ -81,7 +81,7 @@ class TrajCrafterPipeline:
         scale-out path.
         """
         from trajectorycrafter_tpu.parallel import dit_param_sharding
-        from trajectorycrafter_tpu.utils.offload import resolve
+        from trajectorycrafter_tpu.utils.offload import host_or_device
 
         sp = mesh.shape.get("sp", 1)
         transformer = self.transformer.clone(
@@ -89,8 +89,10 @@ class TrajCrafterPipeline:
             attention_impl="ring" if sp > 1 else self.transformer.attention_impl,
         )
         # sharded runs keep params resident (offload is a single-small-chip
-        # concern); resolve any StageParams before placement
-        tp0, vp0 = resolve(self.transformer_params), resolve(self.vae_params)
+        # concern); place any StageParams straight from host so no chip ever
+        # holds the full unsharded tree alongside its shard
+        tp0 = host_or_device(self.transformer_params)
+        vp0 = host_or_device(self.vae_params)
         t_params = jax.device_put(tp0, dit_param_sharding(tp0, mesh))
         repl = NamedSharding(mesh, PartitionSpec())
         vae_params = jax.device_put(vp0, jax.tree.map(lambda _: repl, vp0))
@@ -201,6 +203,14 @@ class TrajCrafterPipeline:
 
         # img2img timestep truncation (reference get_timesteps, pipeline:664-672)
         init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+        if init_timestep == 0:
+            # the reference fails loudly here too (empty timestep tensor);
+            # without this, timesteps[t_start] would clamp out of bounds and
+            # the un-denoised input would decode as the "generated" video
+            raise ValueError(
+                f"strength={strength} truncates every denoise step "
+                f"(int({num_inference_steps} * {strength}) == 0); raise "
+                "strength or num_inference_steps")
         t_start = max(num_inference_steps - init_timestep, 0)
         if t_start == 0:
             latents = latents * state.init_noise_sigma

@@ -236,6 +236,13 @@ def collect_activation_dataset(
             np.save(os.path.join(aux_dir, "poses.npy"),
                     np.asarray(s["poses"], np.float32))
         manifest["kept"].append(name)
+    # persist the run's sample list: ActivationDataset trains on exactly
+    # these samples, so leftovers from a previous collection into the same
+    # root can never misalign (token, depth) pairs
+    import json
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     return manifest
 
 
@@ -245,13 +252,29 @@ class ActivationDataset:
 
     def __init__(self, root: str, timestep: int, block: int):
         import glob
+        import json
         import os
 
         self.items = []
-        pattern = os.path.join(
-            root, "*", "features", f"timestep_{timestep}",
-            f"transformer_block_{block}.npy")
-        for feat_path in sorted(glob.glob(pattern)):
+        man_path = os.path.join(root, "manifest.json")
+        if os.path.isfile(man_path):
+            # restrict to the last collection run's kept samples (stale
+            # sample_* dirs from earlier runs may survive in the same root)
+            with open(man_path) as f:
+                kept = json.load(f)["kept"]
+            paths = [os.path.join(root, n, "features", f"timestep_{timestep}",
+                                  f"transformer_block_{block}.npy")
+                     for n in sorted(kept)]
+            missing = [p for p in paths if not os.path.isfile(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"manifest lists samples without activations for "
+                    f"timestep={timestep} block={block}: {missing[:3]}")
+        else:
+            paths = sorted(glob.glob(os.path.join(
+                root, "*", "features", f"timestep_{timestep}",
+                f"transformer_block_{block}.npy")))
+        for feat_path in paths:
             sample_dir = os.path.dirname(os.path.dirname(os.path.dirname(feat_path)))
             depth_path = os.path.join(sample_dir, "depths", "depths.npy")
             self.items.append(

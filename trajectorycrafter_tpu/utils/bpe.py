@@ -104,8 +104,10 @@ class GPT2BPETokenizer:
         leave their last space to the following token."""
         import re
 
+        # \p{L} -> [^\W\d_]; \p{N} -> \d; [^\s\p{L}\p{N}] -> [^\s\w]|_ (the
+        # symbol class must keep '_', which python's \w wrongly claims)
         pat = re.compile(
-            r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
             re.UNICODE,
         )
         return pat.findall(text)

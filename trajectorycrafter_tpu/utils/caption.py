@@ -48,12 +48,18 @@ def _native_captioner(blip_path: str, offload: bool = False) -> Optional[Callabl
     with open(os.path.join(blip_path, "config.json")) as f:
         cfg = blip2_config_from_hf(json.load(f))
     gen_path = os.path.join(blip_path, "generation_config.json")
-    max_new, eos = 20, cfg.eos_token_id
+    # HF `max_length` counts the whole decoder sequence including the BOS it
+    # starts from, so 20 (blip2-opt-2.7b's shipped config, and transformers'
+    # default) means at most 19 *new* tokens
+    max_new, eos = 19, cfg.eos_token_id
     if os.path.isfile(gen_path):
         with open(gen_path) as f:
             gen = json.load(f)
         eos = gen.get("eos_token_id", eos)
-        max_new = gen.get("max_length", max_new)
+        if "max_new_tokens" in gen:
+            max_new = gen["max_new_tokens"]
+        elif "max_length" in gen:
+            max_new = max(int(gen["max_length"]) - 1, 1)
 
     sd = load_safetensors_dir(blip_path)
     params = convert_blip2(

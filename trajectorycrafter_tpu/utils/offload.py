@@ -84,6 +84,17 @@ def resolve(params: Any) -> Any:
     return params.device() if isinstance(params, StageParams) else params
 
 
+def host_or_device(params: Any) -> Any:
+    """Tree for *sharded placement*: the host copy when one exists, else the
+    resolved tree.  A sharded ``jax.device_put`` from host streams each leaf
+    straight to its shards; resolving first would transiently hold the full
+    unsharded tree on the default device (full 12.2 GB DiT + its own shard
+    on chip 0 -- exactly what offload mode exists to avoid)."""
+    if isinstance(params, StageParams) and params._host is not None:
+        return params._host
+    return resolve(params)
+
+
 def release(params: Any) -> None:
     if isinstance(params, StageParams):
         params.release()
