@@ -172,3 +172,24 @@ def test_sharded_int8_inference_matches_single_device():
             lambda p, *a: m8_s.apply({"params": p}, *a)
         )(params_s, *args_s))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_make_mesh_pp_axis_and_shard_batch():
+    """make_mesh grows a pp axis for the GPipe runner; shard_batch handles
+    scalar leaves (P()) instead of emitting an invalid P('dp') on rank 0."""
+    from trajectorycrafter_tpu.parallel import shard_batch
+
+    mesh = make_mesh(dp=2, pp=4)
+    assert mesh.shape["pp"] == 4 and mesh.shape["dp"] == 2
+
+    tree = {"x": jnp.ones((4, 3)), "s": jnp.float32(1.0)}
+    sh = shard_batch(tree, mesh)
+    assert sh["x"].spec == P("dp", None)
+    assert sh["s"].spec == P()
+    jax.device_put(tree, sh)  # placement actually works
+
+    with pytest.raises(ValueError, match="exceeds"):
+        make_mesh(dp=16)
+    with pytest.warns(UserWarning, match="stay idle"):
+        make_mesh(dp=2)

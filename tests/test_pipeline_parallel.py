@@ -22,7 +22,7 @@ from trajectorycrafter_tpu.parallel.pipeline import (
 )
 
 
-def _tiny_model():
+def _tiny_model(quant="none", remat=False):
     return CrossTransformer3DModel(
         num_attention_heads=2,
         attention_head_dim=8,
@@ -32,6 +32,8 @@ def _tiny_model():
         cross_attn_num_heads=2,
         use_rotary_positional_embeddings=True,
         attention_impl="xla",
+        quant=quant,
+        remat=remat,
     )
 
 
@@ -39,10 +41,12 @@ def _block_params(model, rng):
     """Init block + perceiver params directly at the token level."""
     dim = model.inner_dim
     block = CogVideoXBlock(dim, model.num_attention_heads,
-                           model.attention_head_dim, attention_impl="xla")
+                           model.attention_head_dim, attention_impl="xla",
+                           quant=model.quant)
     perceiver = PerceiverCrossAttention(dim, model.cross_attn_dim_head,
                                         model.cross_attn_num_heads,
-                                        attention_impl="xla")
+                                        attention_impl="xla",
+                                        quant=model.quant)
     h = jnp.zeros((1, 6, dim))
     e = jnp.zeros((1, 3, dim))
     t = jnp.zeros((1, model.time_embed_dim))
@@ -59,8 +63,13 @@ def _block_params(model, rng):
 
 
 @pytest.mark.parametrize("n_microbatches", [1, 2])
-def test_pipeline_matches_sequential(rng, n_microbatches):
-    model = _tiny_model()
+@pytest.mark.parametrize("quant,remat", [("none", False), ("int8", False),
+                                         ("none", True)])
+def test_pipeline_matches_sequential(rng, n_microbatches, quant, remat):
+    """The pp runner must mirror the sequential loop's block construction:
+    quant (int8 stage params would otherwise fail param lookup) and remat
+    both propagate."""
+    model = _tiny_model(quant=quant, remat=remat)
     params, block, perceiver = _block_params(model, rng)
     dim = model.inner_dim
     b = 2

@@ -10,6 +10,7 @@ import json
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -43,6 +44,95 @@ def test_depth_error_metrics_split():
     assert m["non_inpainted_rel_error"] < 1e-6
     assert m["inpainted_pixels"] == f * h * 3
     assert np.isfinite(m["tae"])
+
+
+def test_tae_ignores_invalid_zero_pixels():
+    """unnormalize_depth keeps invalid pixels at exactly 0; a 0 -> d frame
+    transition must not blow up the TAE mean (d / 1e-6)."""
+    from trajectorycrafter_tpu.training.validation import depth_error_metrics
+
+    f, h, w = 3, 4, 4
+    gt = np.full((f, h, w, 3), 0.5, np.float32)
+    pred = gt.copy()
+    pred[0, 0, 0] = 0.0  # one invalid pixel in frame 0
+    m = depth_error_metrics(jnp.asarray(pred), jnp.asarray(gt),
+                            np.zeros((f, h, w), np.float32))
+    assert np.isfinite(m["tae"]) and m["tae"] < 1e-3, m["tae"]
+
+
+def test_run_validation_stratifies_and_guards():
+    """Per-sample batches of size 1 must span the schedule (not all t=0),
+    and an empty val set fails fast instead of averaging to NaN."""
+    from trajectorycrafter_tpu.training.validation import run_validation
+
+    seen = []
+
+    def fake_eval(lora, batch, rng):
+        seen.append(int(batch["timesteps"][0]))
+        return jnp.float32(0.5)
+
+    out = run_validation(
+        fake_eval, None,
+        [{"gt_latents": np.zeros((1, 2, 2, 2, 2), np.float32)}
+         for _ in range(5)])
+    assert out == {"val_loss": 0.5, "val_samples": 5}
+    assert seen == [0, 250, 500, 749, 999]  # stratified over the SET
+
+    seen.clear()
+    run_validation(fake_eval, None,
+                   [{"gt_latents": np.zeros((1, 2, 2, 2, 2), np.float32)}])
+    assert seen == [499]  # single sample: mid-schedule, not t=0
+
+    with pytest.raises(ValueError, match="empty validation set"):
+        run_validation(fake_eval, None, [])
+
+
+def test_eval_loss_is_the_training_objective():
+    """make_eval_loss returns the SAME loss program as the train step with
+    dropout off: supplying identical timesteps/noise via the batch must give
+    bitwise-equal losses (no drifting duplicate implementation)."""
+    from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
+    from trajectorycrafter_tpu.schedulers import CogVideoXDDIMScheduler
+    from trajectorycrafter_tpu.training.step import make_loss_fn
+    from trajectorycrafter_tpu.training.validation import make_eval_loss
+
+    f, h, w, c = 2, 4, 4, 2
+    model = CrossTransformer3DModel(
+        num_attention_heads=2, attention_head_dim=8, in_channels=2 * c + 1,
+        out_channels=c, time_embed_dim=16, text_embed_dim=8, num_layers=2,
+        max_text_seq_length=3, cross_attn_dim_head=8, cross_attn_num_heads=2,
+        use_rotary_positional_embeddings=True, attention_impl="xla")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, f, h, w, c)),
+        jnp.zeros((1, 3, 8)), jnp.zeros((1,)),
+        jnp.zeros((1, f, h, w, c + 1)), jnp.zeros((1, 1, h, w, c)))["params"]
+    scheduler = CogVideoXDDIMScheduler()
+    sch_state = scheduler.set_timesteps(50)
+    rng = np.random.default_rng(3)
+    batch = {
+        "gt_latents": rng.standard_normal((1, f, h, w, c)).astype(np.float32),
+        "prompt_embeds": rng.standard_normal((1, 3, 8)).astype(np.float32),
+        "ref_latents": rng.standard_normal((1, 1, h, w, c)).astype(np.float32),
+        "inpaint_latents": rng.standard_normal((1, f, h, w, c + 1)).astype(np.float32),
+        "timesteps": np.array([500], np.int32),
+        "noise": rng.standard_normal((1, f, h, w, c)).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(7)
+    eval_l = make_eval_loss(model, params, scheduler, sch_state)
+    train_l = make_loss_fn(model, params, scheduler, sch_state,
+                           cfg_dropout_prob=0.0)
+    assert float(eval_l(None, batch, key)) == float(train_l(None, batch, key))
+
+
+def test_metrics_logger_handles_arrays(tmp_path):
+    from trajectorycrafter_tpu.training.validation import MetricsLogger
+
+    path = str(tmp_path / "m.jsonl")
+    MetricsLogger(path, tensorboard=False).log(
+        1, vec=np.array([1.0, 2.0]), scalar=np.float32(3.0))
+    rec = json.loads(open(path).read())
+    assert rec["vec"] == [1.0, 2.0] and rec["scalar"] == 3.0
 
 
 def test_unnormalize_depth_zero_stays_zero():
@@ -86,6 +176,20 @@ def test_latents_dataset_split(tmp_path):
     # deterministic
     t2, v2 = LatentsDataset(str(tmp_path)).split(0.2, seed=0)
     assert t2.files == train.files
+
+
+def test_iter_batches_rejects_oversized_batch(tmp_path):
+    """batch_size > dataset size would yield nothing every epoch and spin
+    forever under the epochs=-1 default; it must fail at construction."""
+    from trajectorycrafter_tpu.training.data import LatentsDataset, save_latent_sample
+
+    for i in range(2):
+        save_latent_sample(str(tmp_path / f"s{i}.npz"),
+                           gt_latents=np.zeros((2, 4, 6, 4), np.float32))
+    ds = LatentsDataset(str(tmp_path))
+    with pytest.raises(ValueError, match="exceeds dataset size"):
+        ds.iter_batches(batch_size=3)
+    assert len(list(ds.iter_batches(2, epochs=1))) == 1
 
 
 def _write_samples(root, n=4, seed=0):

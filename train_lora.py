@@ -84,7 +84,8 @@ def main(argv=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from trajectorycrafter_tpu.parallel import dit_param_sharding, make_mesh
+    from trajectorycrafter_tpu.parallel import (
+        dit_param_sharding, make_mesh, shard_batch)
     from trajectorycrafter_tpu.schedulers import CogVideoXDDIMScheduler
     from trajectorycrafter_tpu.training import (
         TrainState, init_lora_params, make_train_step,
@@ -160,14 +161,9 @@ def main(argv=None):
             if step == start_step:
                 # first-batch sanity dump (reference training_loop.py:312-321)
                 print(sanity_check_batch(batch_np, step))
-            bshard = {
-                k: NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
-                for k, v in batch_np.items()
-            }
-            batch = {
-                k: jax.device_put(jnp.asarray(v), bshard[k])
-                for k, v in batch_np.items()
-            }
+            batch = jax.device_put(
+                {k: jnp.asarray(v) for k, v in batch_np.items()},
+                shard_batch(batch_np, mesh))
             key, sub = jax.random.split(key)
             state, metrics = jstep(state, batch, sub)
             if (step + 1) % args.log_every == 0:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -78,14 +79,20 @@ def pipeline_dit_blocks(
     assert b % m == 0, (b, m)
     mb = b // m
 
-    block = CogVideoXBlock(
+    # mirror the sequential loop's block construction exactly (dit.py step 4):
+    # quant must match or int8 stage params fail param lookup, and remat must
+    # carry over or the pp runner loses activation rematerialization
+    block_cls = CogVideoXBlock
+    if model.remat:
+        block_cls = nn.remat(CogVideoXBlock, static_argnums=())
+    block = block_cls(
         model.inner_dim, model.num_attention_heads, model.attention_head_dim,
-        attention_impl=model.attention_impl, dtype=model.dtype,
-        param_dtype=model.param_dtype)
+        attention_impl=model.attention_impl, quant=model.quant,
+        dtype=model.dtype, param_dtype=model.param_dtype)
     perceiver = PerceiverCrossAttention(
         model.inner_dim, model.cross_attn_dim_head, model.cross_attn_num_heads,
-        attention_impl=model.attention_impl, dtype=model.dtype,
-        param_dtype=model.param_dtype)
+        attention_impl=model.attention_impl, quant=model.quant,
+        dtype=model.dtype, param_dtype=model.param_dtype)
 
     def stage_fn(su_stack, h, e, t, cross):
         def body(carry, su):

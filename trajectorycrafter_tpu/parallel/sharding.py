@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -55,9 +56,16 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Leading axis on dp (batch / CFG pair)."""
+    """NamedSharding tree: leading axis on dp (batch / CFG pair).
+
+    Contract: every array leaf carries the batch as its LEADING axis
+    (rope tables and other batchless side-cars must not be in the tree);
+    scalars replicate.
+    """
     return jax.tree.map(
-        lambda leaf: NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1)))), tree
+        lambda leaf: NamedSharding(
+            mesh, P() if np.ndim(leaf) == 0
+            else P("dp", *([None] * (np.ndim(leaf) - 1)))), tree
     )
 
 

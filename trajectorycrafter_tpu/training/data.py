@@ -49,6 +49,16 @@ class LatentsDataset:
 
     def iter_batches(self, batch_size: int, seed: int = 0,
                      epochs: int = -1) -> Iterator[Dict[str, np.ndarray]]:
+        if batch_size > len(self.files):
+            # every epoch would yield nothing -> the epochs=-1 default would
+            # spin forever in next(); fail at construction instead
+            raise ValueError(
+                f"batch_size {batch_size} exceeds dataset size "
+                f"{len(self.files)} ({self.root})")
+        return self._iter_batches(batch_size, seed, epochs)
+
+    def _iter_batches(self, batch_size: int, seed: int,
+                      epochs: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs < 0 or epoch < epochs:

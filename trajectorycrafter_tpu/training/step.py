@@ -47,12 +47,11 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
     return opt
 
 
-def make_train_step(
+def make_loss_fn(
     model,
     base_params,
     scheduler,
     sch_state,
-    optimizer: optax.GradientTransformation,
     prediction_type: str = "v_prediction",
     cfg_dropout_prob: float = 0.1,
     motion_sub_loss: bool = False,
@@ -60,15 +59,18 @@ def make_train_step(
     lora_rank: int = 8,
     num_train_timesteps: int = 1000,
 ) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics).
+    """The training objective as loss(lora, batch, rng) -> scalar.
 
-    batch: dict with keys (channel-last latents, already VAE-encoded):
-      gt_latents (B,F,h,w,C), prompt_embeds (B,L,De), ref_latents (B,Fr,h,w,C),
-      inpaint_latents (B,F,h,w,C+1), rope (optional tuple).
+    The ONE implementation of noising + conditioning + target: the train
+    step uses it with dropout on, validation (make_eval_loss) with dropout
+    off and batch-supplied stratified timesteps -- so val_loss stays
+    comparable to train loss by construction.  ``lora=None`` evaluates the
+    base params directly.
     """
 
     def loss_fn(lora, batch, rng):
-        params = apply_lora(base_params, lora, lora_alpha, lora_rank)
+        params = (apply_lora(base_params, lora, lora_alpha, lora_rank)
+                  if lora is not None else base_params)
         k_t, k_n, k_d1, k_d2, k_d3 = jax.random.split(rng, 5)
         x0 = batch["gt_latents"].astype(jnp.float32)
         b = x0.shape[0]
@@ -83,8 +85,11 @@ def make_train_step(
             noise = jax.random.normal(k_n, x0.shape, jnp.float32)
         noisy = scheduler.add_noise(sch_state, x0, noise, timesteps)
 
-        # conditioning dropout (reference :162-194)
+        # conditioning dropout (reference :162-194); p=0 (validation) skips
+        # the draws entirely
         def drop(key, x):
+            if cfg_dropout_prob <= 0.0:
+                return x
             keep = jax.random.uniform(key, (b,) + (1,) * (x.ndim - 1)) >= cfg_dropout_prob
             return x * keep.astype(x.dtype)
 
@@ -113,6 +118,35 @@ def make_train_step(
             dt = target[:, 1:] - target[:, :-1]
             loss = loss + 0.1 * jnp.mean((dp - dt) ** 2)
         return loss
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    base_params,
+    scheduler,
+    sch_state,
+    optimizer: optax.GradientTransformation,
+    prediction_type: str = "v_prediction",
+    cfg_dropout_prob: float = 0.1,
+    motion_sub_loss: bool = False,
+    lora_alpha: float = 8.0,
+    lora_rank: int = 8,
+    num_train_timesteps: int = 1000,
+) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with keys (channel-last latents, already VAE-encoded):
+      gt_latents (B,F,h,w,C), prompt_embeds (B,L,De), ref_latents (B,Fr,h,w,C),
+      inpaint_latents (B,F,h,w,C+1), rope (optional tuple).
+    """
+    loss_fn = make_loss_fn(
+        model, base_params, scheduler, sch_state,
+        prediction_type=prediction_type, cfg_dropout_prob=cfg_dropout_prob,
+        motion_sub_loss=motion_sub_loss, lora_alpha=lora_alpha,
+        lora_rank=lora_rank, num_train_timesteps=num_train_timesteps,
+    )
 
     def step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.lora, batch, rng)

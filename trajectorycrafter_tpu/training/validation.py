@@ -26,9 +26,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from trajectorycrafter_tpu.depth_alignment import temporal_alignment_error
-
-
 def unnormalize_depth(depth: jnp.ndarray, depth_min: float = 1.0,
                       depth_max: float = 100.0) -> jnp.ndarray:
     """[0, 1]-normalised depth video -> metric depth; zeros stay zero
@@ -59,12 +56,19 @@ def depth_error_metrics(pred_video: jnp.ndarray, gt_video: jnp.ndarray,
     pred = unnormalize_depth(jnp.mean(pred_video, axis=-1))
     gt = unnormalize_depth(jnp.mean(gt_video, axis=-1))
     inpainted = masks > mask_threshold
+    # TAE over valid pixels only: unnormalize_depth keeps invalid pixels at
+    # exactly 0, and a 0 -> d transition would contribute d/1e-6 to the mean
+    tae_valid = (pred[1:] > 0) & (pred[:-1] > 0)
+    tae_rel = jnp.abs(pred[1:] - pred[:-1]) / jnp.maximum(pred[:-1], 1e-6)
+    tae_n = jnp.sum(tae_valid)
     out = {
         "overall_rel_error": relative_depth_error(pred, gt,
                                                   jnp.ones_like(inpainted)),
         "inpainted_rel_error": relative_depth_error(pred, gt, inpainted),
         "non_inpainted_rel_error": relative_depth_error(pred, gt, ~inpainted),
-        "tae": temporal_alignment_error(pred[:, None]),
+        "tae": jnp.where(tae_n > 0,
+                         jnp.sum(jnp.where(tae_valid, tae_rel, 0.0)) / tae_n,
+                         jnp.nan),
         "inpainted_pixels": jnp.sum(inpainted),
         "non_inpainted_pixels": jnp.sum(~inpainted),
     }
@@ -75,43 +79,45 @@ def make_eval_loss(model, base_params, scheduler, sch_state,
                    prediction_type: str = "v_prediction",
                    lora_alpha: float = 8.0, lora_rank: int = 8,
                    num_train_timesteps: int = 1000) -> Callable:
-    """Deterministic held-out loss: the training objective with conditioning
-    dropout off and timesteps stratified over the schedule, so successive
-    validations are comparable run to run."""
-    from trajectorycrafter_tpu.training.lora import apply_lora
+    """Deterministic held-out loss: the SAME compiled objective as the train
+    step (training.step.make_loss_fn -- one implementation, no drift) with
+    conditioning dropout off.  ``run_validation`` stratifies timesteps over
+    the whole held-out set via ``batch["timesteps"]``."""
+    from trajectorycrafter_tpu.training.step import make_loss_fn
 
-    def eval_loss(lora, batch, rng):
-        params = (apply_lora(base_params, lora, lora_alpha, lora_rank)
-                  if lora is not None else base_params)
-        x0 = batch["gt_latents"].astype(jnp.float32)
-        b = x0.shape[0]
-        # stratified timesteps: evenly spaced, deterministic given b
-        timesteps = jnp.linspace(0, num_train_timesteps - 1, b).astype(jnp.int32)
-        noise = jax.random.normal(rng, x0.shape, jnp.float32)
-        noisy = scheduler.add_noise(sch_state, x0, noise, timesteps)
-        pred = model.apply(
-            {"params": params},
-            noisy.astype(model.dtype),
-            batch["prompt_embeds"].astype(model.dtype),
-            timesteps.astype(jnp.float32),
-            inpaint_latents=batch["inpaint_latents"].astype(model.dtype),
-            cross_latents=batch["ref_latents"].astype(model.dtype),
-            image_rotary_emb=batch.get("rope"),
-        ).astype(jnp.float32)
-        if prediction_type == "v_prediction":
-            target = scheduler.get_velocity(sch_state, x0, noise, timesteps)
-        else:
-            target = noise
-        return jnp.mean((pred - target) ** 2)
-
-    return eval_loss
+    return make_loss_fn(
+        model, base_params, scheduler, sch_state,
+        prediction_type=prediction_type, cfg_dropout_prob=0.0,
+        motion_sub_loss=False, lora_alpha=lora_alpha, lora_rank=lora_rank,
+        num_train_timesteps=num_train_timesteps,
+    )
 
 
 def run_validation(eval_loss_jit, lora, val_batches: Iterable[dict],
-                   seed: int = 0) -> Dict[str, float]:
-    """Average the deterministic eval loss over the held-out set."""
+                   seed: int = 0,
+                   num_train_timesteps: int = 1000) -> Dict[str, float]:
+    """Average the deterministic eval loss over the held-out set.
+
+    Timesteps are stratified over the *whole* set (sample i of n gets
+    t = i/(n-1) of the schedule), not within each batch -- per-sample
+    batches of size 1 would otherwise all evaluate at timestep 0.
+    """
+    val_batches = [dict(b) for b in val_batches]
+    if not val_batches:
+        raise ValueError("run_validation got an empty validation set")
+    sizes = [np.asarray(b["gt_latents"]).shape[0] for b in val_batches]
+    total = sum(sizes)
+    pos = 0
     losses = []
     for i, batch in enumerate(val_batches):
+        if "timesteps" not in batch:
+            if total == 1:  # single sample: mid-schedule, not t=0
+                ts = np.array([(num_train_timesteps - 1) // 2])
+            else:
+                ts = np.round(np.arange(pos, pos + sizes[i])
+                              * (num_train_timesteps - 1) / (total - 1))
+            batch["timesteps"] = ts.astype(np.int32)
+        pos += sizes[i]
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         losses.append(float(eval_loss_jit(lora, batch,
                                           jax.random.PRNGKey(seed + i))))
@@ -152,8 +158,13 @@ class MetricsLogger:
     def log(self, step: int, **metrics) -> None:
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
-            rec[k] = float(v) if isinstance(v, (int, float, np.floating)) or (
-                hasattr(v, "shape") and np.ndim(v) == 0) else v
+            if isinstance(v, (int, float, np.floating)) or (
+                    hasattr(v, "shape") and np.ndim(v) == 0):
+                rec[k] = float(v)
+            elif hasattr(v, "shape"):  # non-scalar array: keep json-able
+                rec[k] = np.asarray(v).tolist()
+            else:
+                rec[k] = v
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if self._tb is not None:
