@@ -62,3 +62,32 @@ def test_quality_cli_roundtrip(tmp_path, capsys):
     save_video(rng.uniform(0, 1, vid.shape).astype(np.float32), c)
     with pytest.raises(SystemExit):
         main([a, c, "--psnr_pass_db", "30"])
+
+
+def test_quality_cli_strict_json_and_frame_mismatch(tmp_path, capsys):
+    """Identical videos emit finite PSNR (strict-JSON safe); a truncated run
+    fails unless --allow-frame-mismatch is passed (ADVICE r3 items 1-2)."""
+    from trajectorycrafter_tpu.utils.quality import main
+    from trajectorycrafter_tpu.utils.video import save_video
+
+    rng = np.random.default_rng(2)
+    vid = rng.uniform(0.3, 0.7, (4, 64, 64, 3)).astype(np.float32)
+    a, b = str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")
+    save_video(vid, a)
+    save_video(vid, b)
+    main([a, b])
+    m = json.loads(capsys.readouterr().out)  # strict: no 'Infinity' token
+    assert m["pass"] and np.isfinite(m["psnr_db"]) and np.isfinite(
+        m["psnr_min_frame_db"])
+
+    # a partial run (fewer frames) must not pass silently
+    short = str(tmp_path / "short.mp4")
+    save_video(vid[:2], short)
+    with pytest.raises(SystemExit):
+        main([a, short])
+    m = json.loads(capsys.readouterr().out)
+    assert m["pass"] is False and m["frames_b"] == 2
+
+    main([a, short, "--allow-frame-mismatch", "--psnr_pass_db", "30"])
+    m = json.loads(capsys.readouterr().out)
+    assert m["pass"] and m["frames"] == 2 and m["frames_a"] == 4

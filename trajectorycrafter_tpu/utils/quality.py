@@ -61,8 +61,9 @@ def video_quality(a: np.ndarray, b: np.ndarray,
                   peak: float = 255.0) -> Dict[str, float]:
     """PSNR + SSIM between two (F, H, W, C) videos (uint8 or [0, peak]).
 
-    Returns overall psnr_db, per-frame min psnr (the weakest frame decides
-    whether outputs "match"), and mean/min per-frame SSIM on the luma.
+    Returns overall psnr_db, per-frame min psnr, and mean/min per-frame SSIM
+    on the luma.  The CLI's pass verdict gates on BOTH psnr_db and
+    psnr_min_frame_db so one corrupted frame cannot be averaged away.
     """
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -97,18 +98,32 @@ def main(argv=None) -> None:
     p.add_argument("video_a")
     p.add_argument("video_b")
     p.add_argument("--psnr_pass_db", type=float, default=35.0,
-                   help="exit non-zero if overall PSNR falls below this")
+                   help="exit non-zero if overall OR weakest-frame PSNR "
+                        "falls below this")
+    p.add_argument("--allow-frame-mismatch", action="store_true",
+                   help="compare the common frame prefix instead of failing "
+                        "when the two videos have different frame counts")
     args = p.parse_args(argv)
 
     # native resolution, every frame: quality judgment must see what was
     # actually written, not the loader's fixed decode resize
     a = read_video_frames(args.video_a, -1, width=None, height=None)
     b = read_video_frames(args.video_b, -1, width=None, height=None)
+    if len(a) != len(b) and not args.allow_frame_mismatch:
+        # a run that crashed partway and wrote fewer frames must not pass
+        print(json.dumps({"pass": False, "error": "frame count mismatch",
+                          "frames_a": int(len(a)), "frames_b": int(len(b))}))
+        raise SystemExit(1)
     n = min(len(a), len(b))
     m = video_quality(f01_to_u8(a[:n]), f01_to_u8(b[:n]))
     if len(a) != len(b):
         m["frames_a"], m["frames_b"] = int(len(a)), int(len(b))
-    m["pass"] = bool(m["psnr_db"] >= args.psnr_pass_db)
+    m["pass"] = bool(m["psnr_db"] >= args.psnr_pass_db
+                     and m["psnr_min_frame_db"] >= args.psnr_pass_db)
+    # identical videos give inf PSNR; cap so json stays strict-parseable
+    for k in ("psnr_db", "psnr_min_frame_db"):
+        if not np.isfinite(m[k]):
+            m[k] = 99.0
     print(json.dumps(m))
     if not m["pass"]:
         raise SystemExit(1)
