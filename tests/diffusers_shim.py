@@ -391,6 +391,16 @@ class Attention(nn.Module):
             attention_mask=attention_mask, **cross_attention_kwargs)
 
 
+class GEGLU(nn.Module):
+    def __init__(self, dim_in, dim_out, bias=True):
+        super().__init__()
+        self.proj = nn.Linear(dim_in, dim_out * 2, bias=bias)
+
+    def forward(self, hidden_states):
+        hidden_states, gate = self.proj(hidden_states).chunk(2, dim=-1)
+        return hidden_states * F.gelu(gate)
+
+
 class FeedForward(nn.Module):
     def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
                  activation_fn="geglu", final_dropout=False, inner_dim=None,
@@ -402,6 +412,8 @@ class FeedForward(nn.Module):
             act_fn = GELU(dim, inner_dim, bias=bias)
         elif activation_fn == "gelu-approximate":
             act_fn = GELU(dim, inner_dim, approximate="tanh", bias=bias)
+        elif activation_fn == "geglu":
+            act_fn = GEGLU(dim, inner_dim, bias=bias)
         else:
             raise ValueError(f"activation_fn {activation_fn!r} not supported by the shim")
         self.net = nn.ModuleList([act_fn, nn.Dropout(dropout),
@@ -948,6 +960,9 @@ class EulerDiscreteScheduler(ConfigMixin):
         prediction_type: str = "epsilon",
         interpolation_type: str = "linear",
         use_karras_sigmas: bool = False,
+        sigma_min=None,
+        sigma_max=None,
+        timestep_type: str = "discrete",
         timestep_spacing: str = "linspace",
         steps_offset: int = 0,
         rescale_betas_zero_snr: bool = False,
@@ -1017,10 +1032,33 @@ class EulerDiscreteScheduler(ConfigMixin):
         sigmas = np.array(
             ((1 - self.alphas_cumprod.numpy()) / self.alphas_cumprod.numpy())
             ** 0.5)
+        log_sigmas = np.log(sigmas)
         sigmas = np.interp(timesteps, np.arange(0, len(sigmas)), sigmas)
+        if self.config.use_karras_sigmas:
+            # diffusers _convert_to_karras: config sigma bounds win when set
+            sigma_min = (self.config.sigma_min if self.config.sigma_min
+                         is not None else sigmas[-1].item())
+            sigma_max = (self.config.sigma_max if self.config.sigma_max
+                         is not None else sigmas[0].item())
+            rho = 7.0
+            ramp = np.linspace(0, 1, num_inference_steps)
+            min_inv_rho = sigma_min ** (1 / rho)
+            max_inv_rho = sigma_max ** (1 / rho)
+            sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+            timesteps = np.array(
+                [np.interp(np.log(s), log_sigmas, np.arange(len(log_sigmas)))
+                 for s in sigmas])
+        if (self.config.timestep_type == "continuous"
+                and self.config.prediction_type == "v_prediction"):
+            # SVD convention: the model is conditioned on 0.25 * log(sigma)
+            self.timesteps = torch.tensor(
+                [0.25 * float(np.log(s)) for s in sigmas],
+                dtype=torch.float32).to(device)
+        else:
+            self.timesteps = torch.from_numpy(
+                timesteps.astype(np.float32)).to(device)
         sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
         self.sigmas = torch.from_numpy(sigmas).to(device)
-        self.timesteps = torch.from_numpy(timesteps).to(device)
         self._step_index = None
 
     def _init_step_index(self, timestep):

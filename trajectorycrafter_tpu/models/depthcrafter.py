@@ -31,15 +31,23 @@ from trajectorycrafter_tpu.ops.posemb import timestep_embedding
 
 
 class AlphaBlender(nn.Module):
-    """Learned scalar blend of spatial/temporal branches (SVD 'mix_factor')."""
+    """Learned scalar blend of spatial/temporal branches (SVD 'mix_factor').
+
+    ``switch`` mirrors diffusers' ``switch_spatial_to_temporal_mix``: the
+    sigmoid weight then lands on the TEMPORAL branch (used by the SVD
+    temporal-decoder VAE blocks; the UNet blocks keep it on spatial)."""
 
     param_dtype: Any = jnp.float32
+    switch: bool = False
+    init: float = 0.5
 
     @nn.compact
     def __call__(self, spatial, temporal):
-        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,),
-                         self.param_dtype)
+        mix = self.param("mix_factor", nn.initializers.constant(self.init),
+                         (1,), self.param_dtype)
         alpha = jax.nn.sigmoid(mix.astype(jnp.float32))[0].astype(spatial.dtype)
+        if self.switch:
+            alpha = 1.0 - alpha
         return alpha * spatial + (1.0 - alpha) * temporal
 
 
@@ -127,7 +135,10 @@ class SpatioTemporalResBlock(nn.Module):
                           param_dtype=self.param_dtype, name="spatial_res_block")(x, temb)
         h5 = h.reshape(b, num_frames, hh, ww, self.out_channels)
         temb5 = temb.reshape(b, num_frames, -1) if temb is not None else None
-        t5 = TemporalResnetBlock(self.out_channels, groups=self.groups,
+        # diffusers SpatioTemporalResBlock: temporal_eps defaults to eps, so
+        # the UNet's temporal resnets share the spatial 1e-5
+        t5 = TemporalResnetBlock(self.out_channels, eps=self.eps,
+                                 groups=self.groups,
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  name="temporal_res_block")(h5, temb5)
         out = AlphaBlender(self.param_dtype, name="time_mixer")(h5, t5)
@@ -268,12 +279,24 @@ class TransformerSpatioTemporal(nn.Module):
         ctx_first = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
         time_context = jnp.repeat(ctx_first, hh * ww, axis=0)  # (B*HW, 1, Dc)
 
+        # per-frame positional embedding added before every temporal block
+        # (diffusers TransformerSpatioTemporalModel time_proj/time_pos_embed:
+        # sinusoid of the frame INDEX, in_channels -> 4x -> in_channels MLP)
+        frame_ids = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), b)
+        femb = timestep_embedding(frame_ids, c).astype(self.dtype)
+        femb = nn.Dense(c * 4, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="time_pos_embed_linear_1")(femb)
+        femb = nn.silu(femb)
+        femb = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="time_pos_embed_linear_2")(femb)
+        femb = femb[:, None, :]  # (B*F, 1, C) broadcast over spatial tokens
+
         for i in range(self.num_layers):
             h = BasicTransformerBlock(self.dim, self.heads, self.dtype,
                                       self.param_dtype,
                                       name=f"transformer_blocks_{i}")(h, context)
             # (B*F, HW, C) -> (B*HW, F, C)
-            ht = h.reshape(b, num_frames, hh * ww, self.dim)
+            ht = (h + femb).reshape(b, num_frames, hh * ww, self.dim)
             ht = jnp.moveaxis(ht, 1, 2).reshape(b * hh * ww, num_frames, self.dim)
             ht = TemporalBasicTransformerBlock(
                 self.dim, self.heads, self.dtype, self.param_dtype,
@@ -342,8 +365,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         n = len(self.block_out_channels)
         for i, ch in enumerate(self.block_out_channels):
             has_attn = i < n - 1  # last block has no cross-attention
+            # diffusers quirk: CrossAttn blocks build their resnets with
+            # eps=1e-6, the plain block and the mid block with 1e-5
+            eps = 1e-6 if has_attn else 1e-5
             for j in range(self.layers_per_block):
-                x = SpatioTemporalResBlock(ch, groups=self.norm_num_groups,
+                x = SpatioTemporalResBlock(ch, eps=eps,
+                                           groups=self.norm_num_groups,
                                            dtype=self.dtype,
                                            param_dtype=self.param_dtype,
                                            name=f"down_{i}_res_{j}")(x, temb, f)
@@ -375,10 +402,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         for i, ch in enumerate(reversed(self.block_out_channels)):
             block_idx = n - 1 - i
             has_attn = block_idx < n - 1
+            eps = 1e-6 if has_attn else 1e-5  # same CrossAttn-block quirk
             for j in range(self.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = SpatioTemporalResBlock(ch, groups=self.norm_num_groups,
+                x = SpatioTemporalResBlock(ch, eps=eps,
+                                           groups=self.norm_num_groups,
                                            dtype=self.dtype,
                                            param_dtype=self.param_dtype,
                                            name=f"up_{i}_res_{j}")(x, temb, f)

@@ -97,16 +97,20 @@ class SpatioTemporalResBlockNoTemb(nn.Module):
 
     @nn.compact
     def __call__(self, x, num_frames: int):
+        # diffusers Mid/UpBlockTemporalDecoder config: spatial eps 1e-6,
+        # temporal eps 1e-5, merge_factor 0.0, switch_spatial_to_temporal_mix
+        # (the sigmoid weight lands on the temporal branch)
         bf, hh, ww, _ = x.shape
         b = bf // num_frames
         h = ResnetBlock2D(self.out_channels, eps=1e-6, groups=self.groups,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="spatial_res_block")(x, None)
         h5 = h.reshape(b, num_frames, hh, ww, self.out_channels)
-        t5 = TemporalResnetBlock(self.out_channels, groups=self.groups,
+        t5 = TemporalResnetBlock(self.out_channels, eps=1e-5, groups=self.groups,
                                  dtype=self.dtype, param_dtype=self.param_dtype,
                                  name="temporal_res_block")(h5, None)
-        out = AlphaBlender(self.param_dtype, name="time_mixer")(h5, t5)
+        out = AlphaBlender(self.param_dtype, switch=True, init=0.0,
+                           name="time_mixer")(h5, t5)
         return out.reshape(bf, hh, ww, self.out_channels)
 
 
@@ -227,14 +231,17 @@ def svd_decode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
 
 class AutoencoderKLTemporalDecoder(nn.Module):
     latent_channels: int = 4
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
     scaling_factor: float = SVD_VAE_SCALING
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = Encoder2D(latent_channels=self.latent_channels,
+                                 block_out_channels=self.block_out_channels,
                                  dtype=self.dtype, param_dtype=self.param_dtype)
         self.decoder = TemporalDecoder(latent_channels=self.latent_channels,
+                                       block_out_channels=self.block_out_channels,
                                        dtype=self.dtype, param_dtype=self.param_dtype)
 
     def encode(self, frames):

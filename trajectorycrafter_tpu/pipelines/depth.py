@@ -97,8 +97,14 @@ class DepthCrafterPipeline:
         window_size: int = 110,
         overlap: int = 25,
         key: Optional[jax.Array] = None,
+        image_embeddings: Optional[np.ndarray] = None,
+        window_noises: Optional[list] = None,
     ) -> np.ndarray:
-        """-> raw single-channel disparity (F, H, W), pre-normalisation."""
+        """-> raw single-channel disparity (F, H, W), pre-normalisation.
+
+        ``image_embeddings`` (F, 1, D) bypasses the CLIP encoder;
+        ``window_noises`` supplies per-window init noise (parity tests share
+        it with the executed torch oracle, tests/svd_torch_oracle.py)."""
         if key is None:
             key = jax.random.PRNGKey(42)
         frames = jnp.asarray(frames, jnp.float32)
@@ -108,7 +114,10 @@ class DepthCrafterPipeline:
 
         from trajectorycrafter_tpu.utils.offload import release, resolve
 
-        ctx = self.encode_image_embeddings(frames).astype(self.dtype)
+        if image_embeddings is not None:
+            ctx = jnp.asarray(image_embeddings).astype(self.dtype)
+        else:
+            ctx = self.encode_image_embeddings(frames).astype(self.dtype)
         # per-frame conditioning latents (SVD convention: un-scaled mode),
         # frame-chunked: one-shot encode of 49 full-res frames OOMs 16 GB HBM
         moments = svd_encode_chunked(
@@ -137,7 +146,10 @@ class DepthCrafterPipeline:
             key, sub = jax.random.split(key)
             win_cond = cond_latents[s : s + window_size]
             win_ctx = ctx[s : s + window_size]
-            noise = jax.random.normal(sub, win_cond.shape, jnp.float32)
+            if window_noises is not None:
+                noise = jnp.asarray(window_noises[wi], jnp.float32)
+            else:
+                noise = jax.random.normal(sub, win_cond.shape, jnp.float32)
             init = noise * state.init_noise_sigma
             # positional overlap with the previous window (handles the
             # non-uniform catch-up window at the video tail)

@@ -310,6 +310,8 @@ def _st_transformer(sd, prefix, num_layers=1):
         "norm": _gn(sd, prefix + ".norm"),
         "proj_in": _lin(sd, prefix + ".proj_in"),
         "proj_out": _lin(sd, prefix + ".proj_out"),
+        "time_pos_embed_linear_1": _lin(sd, prefix + ".time_pos_embed.linear_1"),
+        "time_pos_embed_linear_2": _lin(sd, prefix + ".time_pos_embed.linear_2"),
         "time_mixer": {"mix_factor": np.atleast_1d(
             np.asarray(sd[prefix + ".time_mixer.mix_factor"]))},
     }
