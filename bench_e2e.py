@@ -156,19 +156,14 @@ def synth_input_video(path: str, f=49, h=576, w=1024, fps=10):
     return path
 
 
-def main():
+def make_cfg(small: bool, quant=None, save_dir="/tmp/bench_e2e_out"):
     from trajectorycrafter_tpu.config import TrajCrafterConfig
-    from trajectorycrafter_tpu.orchestrator import TrajCrafter
-    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
-
-    enable_compilation_cache()
-    small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
 
     cfg = TrajCrafterConfig()
-    if "--int8" in sys.argv:
-        cfg.diffusion.quant = "int8"  # DiT GEMMs on the int8 MXU
+    if quant:
+        cfg.diffusion.quant = quant  # DiT GEMMs on the int8 MXU
     cfg.video_path = synth_input_video("/tmp/bench_e2e_input.mp4")
-    cfg.save_dir = "/tmp/bench_e2e_out"
+    cfg.save_dir = save_dir
     cfg.diffusion.prompt = "a slowly drifting abstract gradient scene"
     cfg.render.camera = "target"
     cfg.render.target_pose = (0.0, 8.0, 0.12, 0.0, 0.0)
@@ -183,9 +178,67 @@ def main():
         cfg.diffusion.sample_size = (32, 48)
         cfg.diffusion.num_inference_steps = 2
         cfg.depth.num_inference_steps = 2
-        crafter = TrajCrafter(cfg)
-    else:
-        crafter = TrajCrafter(cfg, models=build_full_scale_bundle(cfg))
+    return cfg
+
+
+def build_crafter(cfg, small: bool):
+    from trajectorycrafter_tpu.orchestrator import TrajCrafter
+
+    if small:
+        return TrajCrafter(cfg)
+    return TrajCrafter(cfg, models=build_full_scale_bundle(cfg))
+
+
+def int8_ab(small: bool, psnr_pass_db: float) -> dict:
+    """Same-seed bf16-vs-int8 A/B: run the orchestrator twice, compare the
+    two gen.mp4s with utils/quality, return the flip-on decision artifact
+    (the round-3 verdict's automated int8 quality gate)."""
+    from trajectorycrafter_tpu.utils.quality import video_quality
+    from trajectorycrafter_tpu.utils.video import f01_to_u8, read_video_frames
+
+    paths = {}
+    for quant in (None, "int8"):
+        tag = quant or "bf16"
+        cfg = make_cfg(small, quant=quant, save_dir=f"/tmp/bench_e2e_ab_{tag}")
+        build_crafter(cfg, small).infer_gradual()
+        paths[tag] = os.path.join(cfg.save_dir, "gen.mp4")
+    a = read_video_frames(paths["bf16"], -1, width=None, height=None)
+    b = read_video_frames(paths["int8"], -1, width=None, height=None)
+    m = video_quality(f01_to_u8(a), f01_to_u8(b))
+    m["pass"] = bool(m["psnr_db"] >= psnr_pass_db
+                     and m["psnr_min_frame_db"] >= psnr_pass_db)
+    m["psnr_pass_db"] = psnr_pass_db
+    for k in ("psnr_db", "psnr_min_frame_db"):
+        if not np.isfinite(m[k]):
+            m[k] = 99.0
+    m["weights"] = ("dev-scale synthetic" if small
+                    else "full-scale synthetic (real weights unreachable)")
+    return m
+
+
+def main():
+    from trajectorycrafter_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    small = "--small" in sys.argv or jax.devices()[0].platform == "cpu"
+
+    if "--ab" in sys.argv:
+        # one command -> the int8 flip-on/flip-off decision artifact
+        bar = 35.0
+        if "--psnr_pass_db" in sys.argv:
+            bar = float(sys.argv[sys.argv.index("--psnr_pass_db") + 1])
+        result = {"metric": "int8_ab_quality", "unit": "dB/ssim",
+                  **int8_ab(small, bar)}
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_int8_ab.json"), "w") as f:
+            json.dump(result, f)
+        print(json.dumps(result))
+        if not result["pass"]:
+            raise SystemExit(1)
+        return
+
+    cfg = make_cfg(small, quant="int8" if "--int8" in sys.argv else None)
+    crafter = build_crafter(cfg, small)
 
     t0 = time.time()
     crafter.infer_gradual()

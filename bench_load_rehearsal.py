@@ -1,0 +1,194 @@
+"""Deployed-scale checkpoint load rehearsal: 42-block / 3072-dim DiT.
+
+Round-3 verdict gap #4: no real weight file had ever flowed through the
+converter at the deployed 6.1B scale (zero egress), so the convert -> load ->
+forward path and the memory/offload plan were untested end-to-end.  This
+drill closes that without the network:
+
+  1. instantiate the REFERENCE torch ``CrossTransformer3DModel``
+     (crosstransformer3d.py:460-492, executed via tests/diffusers_shim.py)
+     at the deployed scale -- 48 heads x 64 dim, 42 blocks, 21 Perceiver
+     cross-attention layers, 33-ch patch embed, ~6.1B params;
+  2. shard-save its ``state_dict()`` to disk as fp16 ``*.safetensors`` +
+     ``config.json`` (the HF layout ``load_full_bundle`` expects);
+  3. run the production loader ``utils/checkpoints.load_dit`` (key
+     verification + ``convert_dit`` + shape-adaptive patch embed + optional
+     int8 host quantization) on those files;
+  4. execute one jitted denoise-style CFG forward;
+  5. report wall-clock per phase, checkpoint bytes, peak host RSS, and
+     device memory stats to ``bench_load_rehearsal.json``.
+
+Run:  python bench_load_rehearsal.py [--int8] [--reuse] [--small]
+``--reuse`` skips phase 1/2 when the checkpoint files already exist;
+``--small`` drills the same path at 4 blocks / 8 heads (CI-sized).
+"""
+
+import gc
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+OUT_DIR = "/tmp/rehearsal/transformer"
+
+
+def peak_rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def deployed_config(small: bool) -> dict:
+    if small:
+        return dict(num_attention_heads=8, attention_head_dim=16,
+                    num_layers=4, in_channels=33, out_channels=16,
+                    cross_attn_interval=2, cross_attn_dim_head=16,
+                    cross_attn_num_heads=4,
+                    use_rotary_positional_embeddings=True)
+    return dict(num_attention_heads=48, attention_head_dim=64,
+                num_layers=42, in_channels=33, out_channels=16,
+                cross_attn_interval=2, cross_attn_dim_head=128,
+                cross_attn_num_heads=16,
+                use_rotary_positional_embeddings=True)
+
+
+def write_checkpoint(small: bool) -> dict:
+    """Instantiate the reference torch model, save fp16 safetensors shards."""
+    import importlib.util
+
+    import torch
+    from safetensors.numpy import save_file
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from diffusers_shim import install
+
+    install()
+    ref_dir = "/root/reference"
+    spec = importlib.util.spec_from_file_location(
+        "ref_crosstransformer3d",
+        os.path.join(ref_dir, "models/crosstransformer3d.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = deployed_config(small)
+    torch.manual_seed(0)
+    t0 = time.time()
+    model = mod.CrossTransformer3DModel(
+        num_attention_heads=cfg["num_attention_heads"],
+        attention_head_dim=cfg["attention_head_dim"],
+        in_channels=cfg["in_channels"],
+        out_channels=cfg["out_channels"],
+        num_layers=cfg["num_layers"],
+        use_rotary_positional_embeddings=True,
+        is_train_cross=True,
+        cross_attn_interval=cfg["cross_attn_interval"],
+        cross_attn_dim_head=cfg["cross_attn_dim_head"],
+        cross_attn_num_heads=cfg["cross_attn_num_heads"],
+    )
+    build_s = time.time() - t0
+    sd = model.state_dict()
+    n_params = sum(int(v.numel()) for v in sd.values())
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    t0 = time.time()
+    shard, shard_bytes, shard_idx, total_bytes = {}, 0, 0, 0
+    limit = 4 * 1024**3  # ~4 GB shards, like the HF hub layout
+    for k, v in sd.items():
+        a = v.detach().numpy().astype(np.float16)
+        shard[k] = a
+        shard_bytes += a.nbytes
+        total_bytes += a.nbytes
+        if shard_bytes >= limit:
+            save_file(shard, os.path.join(
+                OUT_DIR, f"model-{shard_idx:05d}.safetensors"))
+            shard, shard_bytes, shard_idx = {}, 0, shard_idx + 1
+    if shard:
+        save_file(shard, os.path.join(
+            OUT_DIR, f"model-{shard_idx:05d}.safetensors"))
+    with open(os.path.join(OUT_DIR, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    save_s = time.time() - t0
+    del model, sd, shard
+    gc.collect()
+    return {"torch_build_s": round(build_s, 1), "save_s": round(save_s, 1),
+            "params": n_params, "checkpoint_gb": round(total_bytes / 1e9, 2),
+            "shards": shard_idx + 1}
+
+
+def load_and_forward(quant: str, small: bool) -> dict:
+    from trajectorycrafter_tpu.utils.checkpoints import load_dit
+
+    t0 = time.time()
+    model, params = load_dit(OUT_DIR, dtype=jnp.bfloat16, quant=quant)
+    jax.block_until_ready(params)
+    load_s = time.time() - t0
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+    # one denoise-style CFG forward (batch 2) at a reduced latent grid: the
+    # rehearsal proves the 6.1B weights load and compute, not step latency
+    # (bench.py measures that at the production 49f x 576x1024 grid)
+    f, h, w = (2, 8, 12) if not small else (2, 8, 12)
+    from trajectorycrafter_tpu.ops.rope import rope_for_sample
+
+    cos, sin = rope_for_sample(model.attention_head_dim, h * 8, w * 8, f)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+    hidden = jnp.ones((2, f, h, w, 16), jnp.bfloat16)
+    text = jnp.ones((2, 26, 4096), jnp.bfloat16)
+    tstep = jnp.asarray([311.0, 311.0])
+    inpaint = jnp.ones((2, f, h, w, 17), jnp.bfloat16)
+    cross = jnp.ones((2, 1, h, w, 16), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(p, hidden, text, tstep, inpaint, cross):
+        return model.apply({"params": p}, hidden, text, tstep,
+                           inpaint_latents=inpaint, cross_latents=cross,
+                           image_rotary_emb=rope)
+
+    t0 = time.time()
+    out = fwd(params, hidden, text, tstep, inpaint, cross)
+    out.block_until_ready()
+    fwd_s = time.time() - t0
+    assert np.isfinite(np.asarray(out[:, :1], np.float32)).all()
+
+    dev = jax.devices()[0]
+    mem = {}
+    if hasattr(dev, "memory_stats") and dev.memory_stats():
+        ms = dev.memory_stats()
+        mem = {"hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 1e9, 2),
+               "hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 1e9, 2)}
+    return {"load_convert_s": round(load_s, 1),
+            "device_param_gb": round(param_bytes / 1e9, 2),
+            "forward_s": round(fwd_s, 1), "out_shape": list(out.shape),
+            **mem}
+
+
+def main():
+    small = "--small" in sys.argv
+    quant = "int8" if "--int8" in sys.argv else "none"
+    result = {"metric": "load_rehearsal_dit",
+              "scale": "4-block dev" if small else "42-block/3072 deployed",
+              "quant": quant}
+    have = (os.path.isdir(OUT_DIR)
+            and os.path.isfile(os.path.join(OUT_DIR, "config.json"))
+            and any(f.endswith(".safetensors") for f in os.listdir(OUT_DIR)))
+    if "--reuse" in sys.argv and have:
+        print("# reusing existing checkpoint files", file=sys.stderr)
+    else:
+        result.update(write_checkpoint(small))
+    result.update(load_and_forward(quant, small))
+    result["peak_host_rss_gb"] = round(peak_rss_gb(), 1)
+    print(json.dumps(result))
+    if not small:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_load_rehearsal.json"), "w") as f:
+            json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -132,3 +132,36 @@ def test_stage_timer_and_export(tmp_path, rng):
 
     stats = device_memory_stats()
     assert isinstance(stats, dict) and len(stats) >= 1
+
+
+def test_html_viewer_export(tmp_path, rng):
+    """save_html_viewer writes a self-contained page: embedded point bytes
+    round-trip through base64, camera list serialises, no external URLs."""
+    import base64
+    import json
+    import re
+
+    from trajectorycrafter_tpu.utils.export import save_html_viewer
+
+    pts = rng.uniform(-1, 1, (17, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (17, 3)).astype(np.float32)
+    K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    c2ws = [np.eye(4), np.diag([-1.0, 1.0, -1.0, 1.0])]
+    out = tmp_path / "viewer.html"
+    save_html_viewer(str(out), pts, cols, c2ws, [K, K], height=48)
+    html = out.read_text()
+
+    m = re.search(r'PTS = new Float32Array\(b64bytes\("([^"]+)"\)', html)
+    decoded = np.frombuffer(base64.b64decode(m.group(1)), np.float32)
+    np.testing.assert_allclose(decoded.reshape(-1, 3), pts)
+    m = re.search(r"const CAMS = (\[.*?\]);", html, re.S)
+    cams = json.loads(m.group(1))
+    assert len(cams) == 2 and len(cams[0][0]) == 4  # [c2w 4x4, fov]
+    assert abs(cams[0][1] - 2 * np.arctan(0.5 * 48 / 50.0)) < 1e-4
+    assert "http://" not in html and "https://" not in html  # no CDN
+    assert "17 points, 2 cameras" in html
+
+    # subsampling path + no-camera path
+    save_html_viewer(str(out), pts, cols, max_points=5)
+    html = out.read_text()
+    assert "5 points, 0 cameras" in html

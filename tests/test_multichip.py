@@ -193,3 +193,138 @@ def test_make_mesh_pp_axis_and_shard_batch():
         make_mesh(dp=16)
     with pytest.warns(UserWarning, match="stay idle"):
         make_mesh(dp=2)
+
+
+# ----------------------------------------------------------------------------
+# non-denoise stage sharding (round-3 verdict item #2): depth windows, SVD
+# VAE, CogVideoX VAE condition-prep, and the warp must produce the SAME
+# numbers sharded as on a single device.
+# ----------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_warp_matches_single_device():
+    from trajectorycrafter_tpu.geometry.cameras import (
+        default_c2w, intrinsics_matrix,
+    )
+    from trajectorycrafter_tpu.ops.splat import forward_warp_batch
+
+    rng = np.random.default_rng(1)
+    n, h, w = 6, 24, 32  # n=6 does NOT divide 8: exercises GSPMD padding
+    frames = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(2, 4, (n, h, w)).astype(np.float32))
+    pose_s = jnp.tile(jnp.asarray(default_c2w())[None], (n, 1, 1))
+    pose_t = pose_s.at[:, 0, 3].add(jnp.linspace(0.0, 0.3, n))
+    K = jnp.tile(intrinsics_matrix(30.0, w / 2, h / 2)[None], (n, 1, 1))
+
+    want = [np.asarray(x) for x in forward_warp_batch(
+        frames, depths, pose_s, pose_t, K)]
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    got = [np.asarray(x) for x in forward_warp_batch(
+        frames, depths, pose_s, pose_t, K, mesh=mesh)]
+    for g, x in zip(got, want):
+        # sharded reductions reassociate the soft z-buffer sums: ~2e-5 noise
+        np.testing.assert_allclose(g, x, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_svd_vae_matches_single_device():
+    from trajectorycrafter_tpu.models.svd_vae import (
+        AutoencoderKLTemporalDecoder, svd_decode_chunked, svd_encode_chunked,
+    )
+
+    vae = AutoencoderKLTemporalDecoder(block_out_channels=(32, 32, 64, 64))
+    frames = jnp.zeros((1, 4, 32, 32, 3))
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), frames)["params"]
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 5, 32, 32, 3)).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((1, 5, 4, 4, 4)).astype(np.float32))
+
+    want_enc = np.asarray(svd_encode_chunked(vae, params, frames, chunk=4))
+    want_dec = np.asarray(svd_decode_chunked(vae, params, z, chunk=4))
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    with jax.set_mesh(mesh):
+        got_enc = np.asarray(svd_encode_chunked(vae, params, frames, chunk=4,
+                                                shard=True))
+        got_dec = np.asarray(svd_decode_chunked(vae, params, z, chunk=4,
+                                                shard=True))
+    np.testing.assert_allclose(got_enc, want_enc, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got_dec, want_dec, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_depth_pipeline_matches_single_device():
+    """Full windowed depth run (UNet windows + SVD VAE) sharded == single."""
+    from trajectorycrafter_tpu.models.depthcrafter import (
+        UNetSpatioTemporalConditionModel,
+    )
+    from trajectorycrafter_tpu.models.svd_vae import AutoencoderKLTemporalDecoder
+    from trajectorycrafter_tpu.pipelines.depth import DepthCrafterPipeline
+
+    unet = UNetSpatioTemporalConditionModel(
+        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+        num_attention_heads=(2, 2, 2, 2), cross_attention_dim=12,
+        norm_num_groups=4)
+    unet_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 8)), jnp.zeros((1,)),
+        jnp.zeros((1, 2, 1, 12)), jnp.zeros((1, 3)))["params"]
+    vae = AutoencoderKLTemporalDecoder(block_out_channels=(32, 32, 64, 64))
+    vae_params = jax.jit(vae.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 2, 32, 32, 3)))["params"]
+
+    rng = np.random.default_rng(3)
+    f, h, w = 6, 64, 64
+    frames = rng.uniform(0, 1, (f, h, w, 3)).astype(np.float32)
+    embeds = rng.standard_normal((f, 1, 12)).astype(np.float32)
+    noises = [rng.standard_normal((4, h // 8, w // 8, 4)).astype(np.float32)
+              for _ in range(2)]
+
+    pipe = DepthCrafterPipeline(unet=unet, unet_params=unet_params, vae=vae,
+                                vae_params=vae_params, dtype=jnp.float32)
+    want = pipe(frames, num_inference_steps=2, window_size=4, overlap=2,
+                image_embeddings=embeds, window_noises=noises)
+    pipe_s = pipe.with_mesh(make_mesh(dp=2, sp=2, tp=2))
+    got = pipe_s(frames, num_inference_steps=2, window_size=4, overlap=2,
+                 image_embeddings=embeds, window_noises=noises)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_condition_prep_and_decode_match_single_device():
+    """CogVideoX VAE condition prep + decode with spatial (H-on-dp, W-on-sp)
+    sharding == single device."""
+    from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
+    from trajectorycrafter_tpu.pipelines.trajcrafter import (
+        _decode_jit, _prepare_conditions_override_jit,
+    )
+
+    vae = AutoencoderKLCogVideoX(
+        latent_channels=4, block_out_channels=(8, 16, 16, 32),
+        layers_per_block=1, norm_num_groups=4)
+    params = jax.jit(vae.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 5, 32, 48, 3)))["params"]
+    rng = np.random.default_rng(4)
+    video = jnp.asarray(rng.uniform(0, 1, (1, 5, 32, 48, 3)).astype(np.float32))
+    mask = jnp.asarray(
+        (rng.uniform(0, 1, (1, 5, 32, 48, 1)) > 0.5).astype(np.float32) * 255.0)
+    ref = jnp.asarray(rng.uniform(0, 1, (1, 1, 32, 48, 3)).astype(np.float32))
+    ref_noise = jnp.asarray(rng.standard_normal((1, 1, 4, 6, 4)).astype(np.float32))
+    aug_noise = jnp.asarray(rng.standard_normal(video.shape).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 6, 4)).astype(np.float32))
+
+    want = _prepare_conditions_override_jit(
+        vae, params, video, mask, ref, ref_noise, aug_noise, 0.0563, True,
+        vae.scaling_factor, jnp.float32)
+    want_dec = np.asarray(_decode_jit(vae, params, z, vae.scaling_factor))
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    with jax.set_mesh(mesh):
+        got = _prepare_conditions_override_jit(
+            vae, params, video, mask, ref, ref_noise, aug_noise, 0.0563, True,
+            vae.scaling_factor, jnp.float32, shard=True)
+        got_dec = np.asarray(_decode_jit(vae, params, z, vae.scaling_factor,
+                                         mesh=mesh))
+    for g, x in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(x), atol=2e-4,
+                                   rtol=1e-3)
+    np.testing.assert_allclose(got_dec, want_dec, atol=2e-4, rtol=1e-3)

@@ -118,3 +118,23 @@ def test_ring_with_flash_inner(rng):
     mesh = make_mesh(dp=1, sp=4, tp=1)
     got = np.asarray(ring_attention(q, k, v, mesh, scale=scale, inner=inner))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_attention_uneven_tokens_pad_and_mask():
+    """S not divisible by the ring size: zero-pad + key-mask must equal the
+    exact attention on the true length (round-3 verdict item #6)."""
+    from trajectorycrafter_tpu.ops.ring_attention import ring_attention
+
+    mesh = make_mesh(dp=1, sp=8, tp=1)
+    rng = np.random.default_rng(5)
+    for s in (109, 5, 13):  # 109 % 8 = 5; s < ring size; prime
+        q = jnp.asarray(rng.standard_normal((2, 3, s, 16)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 3, s, 16)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 3, s, 16)).astype(np.float32))
+        scale = 16**-0.5
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, axis=-1), v)
+        got = ring_attention(q, k, v, mesh, axis_name="sp", scale=scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5, err_msg=f"s={s}")

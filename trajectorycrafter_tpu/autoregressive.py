@@ -217,4 +217,22 @@ class TrajCrafterGlobalPointCloud(TrajCrafter):
                     points, colors = downsample_pointcloud(
                         points, colors, max_points, jax.random.PRNGKey(wi)
                     )
+
+        # scene export: COLMAP text model + PLY + self-contained interactive
+        # HTML viewer (reference autoregressive_global.py:109-136 saves
+        # COLMAP; the viser notebooks' live inspection becomes the HTML file)
+        import os
+
+        from trajectorycrafter_tpu.utils.export import (
+            save_colmap, save_html_viewer, save_ply,
+        )
+
+        scene_dir = os.path.join(cfg.save_dir, "scene")
+        pts_np, cols_np = np.asarray(points), np.asarray(colors)
+        c2ws_np = [np.asarray(p) for p in poses_all]
+        Ks_np = [np.asarray(K)] * len(c2ws_np)
+        save_ply(os.path.join(scene_dir, "points.ply"), pts_np, cols_np)
+        save_colmap(scene_dir, Ks_np, c2ws_np, ww, hw, pts_np, cols_np)
+        save_html_viewer(os.path.join(scene_dir, "viewer.html"), pts_np,
+                         cols_np, c2ws_np, Ks_np, height=hw)
         return np.concatenate(out_segments, axis=0)

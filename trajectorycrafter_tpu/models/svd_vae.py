@@ -9,6 +9,7 @@ AutoencoderKLTemporalDecoder architecture, rebuilt channel-last.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -173,8 +174,40 @@ def _pad_frames(x: jnp.ndarray, chunk: int) -> tuple[jnp.ndarray, int]:
     return x, pad
 
 
+def _frame_sharded(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain (B, F, ...) to frames-on-(dp, sp) under the ambient mesh.
+
+    The SVD encoder is strictly per-frame, so this is pure data parallelism;
+    the temporal decoder's (3,1,1) convs and within-chunk frame mixing become
+    GSPMD halo exchanges / collectives.  GSPMD handles frame counts that
+    don't divide the axis (internal padding), so no pad-and-mask is needed.
+    """
+    from trajectorycrafter_tpu.parallel.sharding import constrain
+
+    return constrain(x, None, ("dp", "sp"), *([None] * (x.ndim - 2)))
+
+
+@partial(jax.jit, static_argnames=("vae", "shard"))
+def _encode_chunk_jit(vae, params, x, shard=False):
+    if shard:
+        x = _frame_sharded(x)
+    out = vae.apply({"params": params}, x,
+                    method=AutoencoderKLTemporalDecoder.encode)
+    return _frame_sharded(out) if shard else out
+
+
+@partial(jax.jit, static_argnames=("vae", "shard"))
+def _decode_chunk_jit(vae, params, z, shard=False):
+    if shard:
+        z = _frame_sharded(z)
+    out = vae.apply({"params": params}, z,
+                    method=AutoencoderKLTemporalDecoder.decode)
+    return _frame_sharded(out) if shard else out
+
+
 def svd_encode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
-                       frames: jnp.ndarray, chunk: int = 8) -> jnp.ndarray:
+                       frames: jnp.ndarray, chunk: int = 8,
+                       shard: bool = False) -> jnp.ndarray:
     """(B, F, H, W, 3) -> (B, F, H/8, W/8, 8) moments, ``chunk`` frames per
     program.  The encoder is purely per-frame, so this is EXACT -- it only
     bounds peak activation memory: one-shot encode of 49 frames at 576x1024
@@ -184,19 +217,18 @@ def svd_encode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
     consumed by the reference via models/infer.py:9-10)."""
     f = frames.shape[1]
     if f <= chunk:
-        return vae.apply({"params": params}, frames,
-                         method=AutoencoderKLTemporalDecoder.encode)
+        return _encode_chunk_jit(vae, params, frames, shard=shard)
     x, _ = _pad_frames(frames, chunk)
     outs = [
-        vae.apply({"params": params}, x[:, i : i + chunk],
-                  method=AutoencoderKLTemporalDecoder.encode)
+        _encode_chunk_jit(vae, params, x[:, i : i + chunk], shard=shard)
         for i in range(0, x.shape[1], chunk)
     ]
     return jnp.concatenate(outs, axis=1)[:, :f]
 
 
 def svd_decode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
-                       z: jnp.ndarray, chunk: int | None = None) -> jnp.ndarray:
+                       z: jnp.ndarray, chunk: int | None = None,
+                       shard: bool = False) -> jnp.ndarray:
     """(B, F, h, w, lat) -> (B, F, 8h, 8w, 3), ``chunk`` frames per program.
 
     The temporal decoder's time mixing then runs within each chunk -- the
@@ -211,21 +243,19 @@ def svd_decode_chunked(vae: "AutoencoderKLTemporalDecoder", params,
         # ~4 frames' worth of 576x1024 decoder temps per program
         chunk = int(min(8, max(1, (4 * 72 * 128) // (z.shape[2] * z.shape[3]))))
     if f <= chunk:
-        return vae.apply({"params": params}, z,
-                         method=AutoencoderKLTemporalDecoder.decode)
+        return _decode_chunk_jit(vae, params, z, shard=shard)
     # the final partial chunk is decoded at its TRUE length (one extra
     # compiled shape), matching the published decode_chunk_size loop --
     # replicate-padding it would blend fake trailing frames into the last
     # real ones through the decoder's time mixing
     outs = [
-        vae.apply({"params": params}, z[:, i : i + chunk],
-                  method=AutoencoderKLTemporalDecoder.decode)
+        _decode_chunk_jit(vae, params, z[:, i : i + chunk], shard=shard)
         for i in range(0, f - chunk + 1, chunk)
     ]
     rem = f % chunk
     if rem:
-        outs.append(vae.apply({"params": params}, z[:, f - rem :],
-                              method=AutoencoderKLTemporalDecoder.decode))
+        outs.append(_decode_chunk_jit(vae, params, z[:, f - rem :],
+                                      shard=shard))
     return jnp.concatenate(outs, axis=1)
 
 

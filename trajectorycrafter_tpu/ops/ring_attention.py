@@ -22,10 +22,17 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _attention_with_lse(q, k, v, scale) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact blockwise attention returning (out, lse); (B, H, S, D) layout."""
+def _attention_with_lse(q, k, v, scale,
+                        key_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact blockwise attention returning (out, lse); (B, H, S, D) layout.
+
+    ``key_mask`` (Sk,) bool marks valid keys -- padded positions score -1e30
+    (finite, so a fully-masked visiting shard yields lse ~ -1e30 instead of
+    NaN-producing -inf and washes out in the online-softmax combine)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[None, None, None, :], s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -59,15 +66,36 @@ def ring_attention(
     Each ring step computes q_local x kv_visiting and folds the result into
     the running online-softmax state while the kv shard travels to the next
     device (guide pattern: ring collectives).
+
+    Uneven token counts are handled by pad-and-mask: S is zero-padded up to
+    a multiple of the ring size and the padded KEY positions are masked out
+    of every softmax (padded QUERY rows compute garbage and are sliced off).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis_name]
 
+    s_true = q.shape[2]
+    pad = (-s_true) % n
+    if pad:
+        zeros = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        q, k, v = zeros(q), zeros(k), zeros(v)
+    s_loc = q.shape[2] // n
+
     def local(q_l, k_l, v_l):
-        def step(carry, _):
+        def step(carry, t):
             o_acc, lse_acc, k_cur, v_cur = carry
-            o_i, lse_i = inner(q_l, k_cur, v_cur, scale)
+            if pad:
+                # after t rotations device i holds kv shard (i - t) mod n;
+                # mask that shard's positions beyond the true length
+                me = jax.lax.axis_index(axis_name)
+                visiting = jax.lax.rem(me - t + n, n)
+                pos = visiting * s_loc + jnp.arange(s_loc)
+                key_mask = pos < s_true
+            else:
+                key_mask = None
+            o_i, lse_i = inner(q_l, k_cur, v_cur, scale, key_mask=key_mask) \
+                if pad else inner(q_l, k_cur, v_cur, scale)
             o_acc, lse_acc = _combine(o_acc, lse_acc, o_i, lse_i)
             perm = [(i, (i + 1) % n) for i in range(n)]
             k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
@@ -82,11 +110,13 @@ def ring_attention(
             vary = lambda x: jax.lax.pvary(x, (axis_name,))
         o0 = vary(jnp.zeros(q_l.shape[:3] + (v_l.shape[-1],), jnp.float32))
         lse0 = vary(jnp.full(q_l.shape[:3], -jnp.inf, jnp.float32))
-        (o, _, _, _), _ = jax.lax.scan(step, (o0, lse0, k_l, v_l), None, length=n)
+        (o, _, _, _), _ = jax.lax.scan(step, (o0, lse0, k_l, v_l),
+                                       jnp.arange(n))
         return o.astype(q_l.dtype)
 
     spec = P(None, None, axis_name, None)
     # check_vma off: pallas_call inner kernels don't annotate varying axes
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
-    return fn(q, k, v)
+    out = fn(q, k, v)
+    return out[:, :, :s_true] if pad else out

@@ -60,10 +60,22 @@ def transform_points(
         transformation = transformation2 @ jnp.linalg.inv(transformation1)
         k1_inv = jnp.linalg.inv(intrinsic1)
 
-        rays = pix @ k1_inv.T  # (h, w, 3)
-        cam_points = rays * depth[..., None]  # (h, w, 3) in source camera space
-        world = cam_points @ transformation[:3, :3].T + transformation[:3, 3]
-        projected = world @ intrinsic2.T  # (h, w, 3)
+    # The per-pixel projections are written as EXPLICIT mul/add chains, not
+    # dots: XLA keeps written addition order but freely reassociates dot
+    # reductions, and a 1-ulp coordinate difference between two compilations
+    # (e.g. sharded vs not) flips bilinear corners / knife-edge soft-z blends
+    # into O(1) output changes.  Same math as pix @ K1^-T etc.
+    def apply3(m, v, t=None):
+        out = [v[..., 0] * m[i, 0] + v[..., 1] * m[i, 1] + v[..., 2] * m[i, 2]
+               for i in range(3)]
+        if t is not None:
+            out = [o + t[i] for i, o in enumerate(out)]
+        return jnp.stack(out, axis=-1)
+
+    rays = apply3(k1_inv, pix)  # (h, w, 3)
+    cam_points = rays * depth[..., None]  # (h, w, 3) in source camera space
+    world = apply3(transformation[:3, :3], cam_points, transformation[:3, 3])
+    projected = apply3(intrinsic2, world)  # (h, w, 3)
 
     behind = world[..., 2:3] <= _BEHIND_EPS
     return jnp.where(behind, jnp.full_like(projected, _BEHIND_FILL), projected)
@@ -202,7 +214,6 @@ def forward_warp_single(
     return warped, mask2, warped_depth, flow
 
 
-@partial(jax.jit, static_argnames=("use_mask_clean",))
 def forward_warp_batch(
     frames: jnp.ndarray,  # (n, h, w, 3)
     depths: jnp.ndarray,  # (n, h, w)
@@ -211,11 +222,36 @@ def forward_warp_batch(
     intrinsics1: jnp.ndarray,  # (n, 3, 3)
     intrinsics2: Optional[jnp.ndarray] = None,  # (n, 3, 3)
     use_mask_clean: bool = False,
+    mesh=None,
 ):
     """Warp all frames of a clip in one jit call (replaces the reference's
-    49-iteration host loop, demo.py:77-90)."""
+    49-iteration host loop, demo.py:77-90).
+
+    ``mesh``: shard the (independent) frames over EVERY mesh axis — the
+    splat has no batch/tensor dimension to reserve, so all devices take a
+    frame slice (GSPMD pads internally when n doesn't divide)."""
     if intrinsics2 is None:
         intrinsics2 = intrinsics1
+    if mesh is None:
+        return _forward_warp_batch_jit(frames, depths, pose_s, pose_t,
+                                       intrinsics1, intrinsics2,
+                                       use_mask_clean, shard=False)
+    with jax.set_mesh(mesh):
+        return _forward_warp_batch_jit(frames, depths, pose_s, pose_t,
+                                       intrinsics1, intrinsics2,
+                                       use_mask_clean, shard=True)
+
+
+@partial(jax.jit, static_argnames=("use_mask_clean", "shard"))
+def _forward_warp_batch_jit(frames, depths, pose_s, pose_t, intrinsics1,
+                            intrinsics2, use_mask_clean, shard=False):
+    if shard:
+        from trajectorycrafter_tpu.parallel.sharding import constrain
+
+        axes = ("dp", "sp", "tp")
+        cons = lambda x: constrain(x, axes, *([None] * (x.ndim - 1)))
+        frames, depths, pose_s, pose_t, intrinsics1, intrinsics2 = map(
+            cons, (frames, depths, pose_s, pose_t, intrinsics1, intrinsics2))
     warp = jax.vmap(forward_warp_single, in_axes=(0, None, 0, 0, 0, 0, 0))
     warped, masks, wdepth, flow = warp(
         frames, None, depths, pose_s, pose_t, intrinsics1, intrinsics2

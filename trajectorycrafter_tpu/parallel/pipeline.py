@@ -56,6 +56,36 @@ def stack_superblock_params(params, num_layers: int, cross_attn_interval: int,
         lambda x: x.reshape(n_stages, n_su // n_stages, *x.shape[1:]), stacked)
 
 
+def stacked_param_sharding(stage_params, mesh, axis_name: str = "pp"):
+    """NamedSharding tree for stacked superblock params: stage dim on
+    ``axis_name``, kernels tensor-parallel on ``tp`` (when the mesh has one).
+
+    Re-applies the per-block tp rules from ``sharding._spec_for_path`` by
+    aliasing the stacked top-level keys ("a"/"b" -> blocks, "p" -> perceiver)
+    and stripping the two leading stack dims (S, n_su).
+    """
+    from types import SimpleNamespace
+
+    from jax.sharding import NamedSharding
+
+    from trajectorycrafter_tpu.parallel.sharding import _spec_for_path
+
+    has_tp = "tp" in mesh.shape and mesh.shape["tp"] > 1
+    alias = {"a": "blocks_0", "b": "blocks_0", "p": "perceiver_cross_attention_0"}
+
+    def spec(path, leaf):
+        names = [alias.get(getattr(p, "key", str(p)), getattr(p, "key", str(p)))
+                 for p in path]
+        inner = P()
+        if has_tp and leaf.ndim > 2:
+            fake_path = tuple(SimpleNamespace(key=n) for n in names)
+            fake_leaf = jax.ShapeDtypeStruct(leaf.shape[2:], leaf.dtype)
+            inner = _spec_for_path(fake_path, fake_leaf)
+        return NamedSharding(mesh, P(axis_name, None, *tuple(inner)))
+
+    return jax.tree_util.tree_map_with_path(spec, stage_params)
+
+
 def pipeline_dit_blocks(
     model,  # CrossTransformer3DModel (for block hyper-params)
     stage_params,  # stacked tree (S, n_su/S, ...), sharded P("pp") on dim 0
@@ -148,12 +178,20 @@ def pipeline_dit_blocks(
 
     spec_stage = P(axis_name)
     rep = P()
-    fn = jax.shard_map(
+    # manual ONLY over the pp axis: any other axis on ``mesh`` (e.g. tp)
+    # stays automatic, so stage params committed with tensor-parallel
+    # shardings keep them inside the stage body and GSPMD inserts the tp
+    # collectives -- pp composes with tp on one mesh.  The jit wrapper is
+    # required: the EAGER shard_map path reshards operands over ALL mesh
+    # axes (jax 0.9 _unmatch dst = P(mesh.axis_names)), which trips the
+    # manual-axis check whenever the mesh carries a non-manual axis.
+    fn = jax.jit(jax.shard_map(
         pipelined, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: spec_stage, stage_params),
                   rep, rep, rep, rep),
         out_specs=(rep, rep),
+        axis_names={axis_name},
         check_vma=False,
-    )
+    ))
     out_h, out_e = fn(stage_params, h_mb, e_mb, t_mb, c_mb)
     return out_h.reshape(b, *out_h.shape[2:]), out_e.reshape(b, *out_e.shape[2:])

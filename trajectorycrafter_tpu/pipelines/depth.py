@@ -66,10 +66,45 @@ class DepthCrafterPipeline:
     image_encoder_params: Any = None
     scheduler: EulerDiscreteScheduler = None
     dtype: Any = jnp.bfloat16
+    mesh: Any = None  # jax.sharding.Mesh with (dp, sp, ...) axes, or None
 
     def __post_init__(self):
         if self.scheduler is None:
             self.scheduler = svd_euler_scheduler()
+
+    # ------------------------------------------------------------------
+    def with_mesh(self, mesh) -> "DepthCrafterPipeline":
+        """Return a copy sharded over ``mesh``.
+
+        Depth is embarrassingly parallel over FRAMES (the SVD encoder is
+        per-frame; the UNet/temporal-decoder mix frames through convs and
+        temporal attention, which GSPMD turns into halo exchanges /
+        collectives), so the window's frame axis rides dp and the latent
+        rows ride sp.  Params replicate (the 1.5B-scale UNet fits per chip);
+        the 29.5 s non-denoise tail this amortises is the round-3 Amdahl
+        floor (VERDICT item #2)."""
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from trajectorycrafter_tpu.utils.offload import StageParams
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        # StageParams stay host-resident (offload mode): jit replicates them
+        # at stage dispatch under the ambient mesh
+        put = lambda tree: (
+            tree if tree is None or isinstance(tree, StageParams)
+            else jax.device_put(tree, jax.tree.map(lambda _: repl, tree)))
+        return dataclasses.replace(
+            self, mesh=mesh, unet_params=put(self.unet_params),
+            vae_params=put(self.vae_params),
+            image_encoder_params=put(self.image_encoder_params))
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
 
     # ------------------------------------------------------------------
     def encode_image_embeddings(self, frames: jnp.ndarray) -> jnp.ndarray:
@@ -118,12 +153,15 @@ class DepthCrafterPipeline:
             ctx = jnp.asarray(image_embeddings).astype(self.dtype)
         else:
             ctx = self.encode_image_embeddings(frames).astype(self.dtype)
+        sharded = self.mesh is not None
         # per-frame conditioning latents (SVD convention: un-scaled mode),
         # frame-chunked: one-shot encode of 49 full-res frames OOMs 16 GB HBM
-        moments = svd_encode_chunked(
-            self.vae, resolve(self.vae_params),
-            (frames * 2.0 - 1.0)[None].astype(self.dtype),
-        )[0]
+        with self._mesh_ctx():
+            moments = svd_encode_chunked(
+                self.vae, resolve(self.vae_params),
+                (frames * 2.0 - 1.0)[None].astype(self.dtype),
+                shard=sharded,
+            )[0]
         cond_latents = moments[..., : self.vae.latent_channels].astype(jnp.float32)
 
         state = self.scheduler.set_timesteps(num_inference_steps)
@@ -162,20 +200,23 @@ class DepthCrafterPipeline:
                 anchor = latents_all[s : s + ov]
                 reno = anchor + noise[:ov] * state.init_noise_sigma
                 init = jnp.concatenate([reno, init[ov:]], axis=0)
-            win_lat = _denoise_window_jit(
-                self.unet, resolve(self.unet_params), self.scheduler, state,
-                init, win_cond, win_ctx, added, num_inference_steps,
-                float(guidance_scale), self.dtype,
-            )
+            with self._mesh_ctx():
+                win_lat = _denoise_window_jit(
+                    self.unet, resolve(self.unet_params), self.scheduler, state,
+                    init, win_cond, win_ctx, added, num_inference_steps,
+                    float(guidance_scale), self.dtype, shard=sharded,
+                )
             latents_all = chain_blend(latents_all, win_lat, s, ov)
             prev_start = s
         # stage offload: drop the UNet before the (activation-heavy) decode
         latents_all.block_until_ready()
         release(self.unet_params)
-        dec = svd_decode_chunked(
-            self.vae, resolve(self.vae_params),
-            (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
-        )[0].astype(jnp.float32)
+        with self._mesh_ctx():
+            dec = svd_decode_chunked(
+                self.vae, resolve(self.vae_params),
+                (latents_all[None] / self.vae.scaling_factor).astype(self.dtype),
+                shard=sharded,
+            )[0].astype(jnp.float32)
         dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
         release(self.vae_params)
         return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
@@ -195,15 +236,32 @@ def chain_blend(latents_all: jnp.ndarray, win_lat: jnp.ndarray, s: int,
 
 
 @partial(jax.jit, static_argnames=("unet", "scheduler", "num_steps",
-                                   "guidance_scale", "dtype"))
+                                   "guidance_scale", "dtype", "shard"))
 def _denoise_window_jit(unet, params, scheduler, state, latents, cond_latents,
-                        ctx, added, num_steps, guidance_scale, dtype):
+                        ctx, added, num_steps, guidance_scale, dtype,
+                        shard=False):
     """Full Euler denoise of one window as a single fori_loop program.
 
     guidance_scale > 1 runs SVD-style CFG: the unconditional branch gets
     zeroed CLIP embeddings and zeroed conditioning latents.
+
+    ``shard``: constrain the window's frame axis to dp and the latent rows
+    to sp under the ambient mesh; GSPMD partitions the UNet's spatial work
+    per frame/row and turns the temporal mixing into collectives.
+
+    The sharded path UNROLLS the (static, small -- 5 by default) step loop
+    instead of using fori_loop: XLA's SPMD partitioner miscompiles this
+    UNet inside a while loop when the sharded carry's bottleneck spatial
+    extent drops to one element per shard (stride-2 down path + repeat
+    upsample; observed err O(1) on an 8-device CPU mesh, jax 0.9, both
+    GSPMD and Shardy) -- the identical body unrolled is exact.
     """
     do_cfg = guidance_scale > 1.0
+    if shard:
+        from trajectorycrafter_tpu.parallel.sharding import constrain
+
+        latents = constrain(latents, "dp", "sp", None, None)
+        cond_latents = constrain(cond_latents, "dp", "sp", None, None)
 
     def body(i, lat):
         scaled = scheduler.scale_model_input(state, lat, i)
@@ -227,6 +285,10 @@ def _denoise_window_jit(unet, params, scheduler, state, latents, cond_latents,
             )[0].astype(jnp.float32)
         return scheduler.step(state, pred, i, lat)
 
+    if shard:
+        for i in range(num_steps):
+            lat = body(i, latents if i == 0 else lat)
+        return lat
     return jax.lax.fori_loop(0, num_steps, body, latents)
 
 

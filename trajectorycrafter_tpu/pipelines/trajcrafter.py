@@ -131,12 +131,13 @@ class TrajCrafterPipeline:
         (utils/torch_compat.reference_condition_noise)."""
         from trajectorycrafter_tpu.utils.offload import resolve
 
+        shard = self.mesh is not None
         if noise_override is None:
             return _prepare_conditions_jit(
                 self.vae, resolve(self.vae_params), video, mask_video, reference,
                 key, noise_aug_strength,
                 self.transformer.add_noise_in_inpaint_model,
-                self.vae.scaling_factor, self.dtype,
+                self.vae.scaling_factor, self.dtype, shard=shard,
             )
         # 2-tuple (ref, aug) or 3-tuple (ref, video, aug) in the reference's
         # global-RNG draw order; the middle draw feeds the strength<1 path
@@ -145,7 +146,7 @@ class TrajCrafterPipeline:
             self.vae, resolve(self.vae_params), video, mask_video, reference,
             jnp.asarray(ref_noise, jnp.float32), jnp.asarray(aug_noise, jnp.float32),
             noise_aug_strength, self.transformer.add_noise_in_inpaint_model,
-            self.vae.scaling_factor, self.dtype,
+            self.vae.scaling_factor, self.dtype, shard=shard,
         )
 
     # ------------------------------------------------------------------
@@ -280,7 +281,7 @@ class TrajCrafterPipeline:
             if output_type == "latent":
                 return latents
             frames = _decode_jit(self.vae, resolve(self.vae_params), latents,
-                                 self.vae.scaling_factor)
+                                 self.vae.scaling_factor, mesh=self.mesh)
             frames.block_until_ready()
             release(self.vae_params)
         return frames
@@ -291,10 +292,25 @@ class TrajCrafterPipeline:
 # ----------------------------------------------------------------------------
 
 
+def _spatial_sharded(x):
+    """Constrain (B, F, H, W, C) to H-on-dp, W-on-sp under the ambient mesh.
+
+    The CogVideoX VAE is causal in TIME (scan-carried conv cache), so the
+    parallel axes are spatial: GSPMD partitions the 3D convs with halo
+    exchanges and turns GroupNorm's spatial reduction into a psum."""
+    from trajectorycrafter_tpu.parallel.sharding import constrain
+
+    return constrain(x, None, None, "dp", "sp", None)
+
+
 def _prepare_conditions_core(
     vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
-    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype, shard=False,
 ):
+    if shard:
+        video = _spatial_sharded(video)
+        mask_video = _spatial_sharded(mask_video)
+        reference = _spatial_sharded(reference)
     f_lat = (video.shape[1] - 1) // 4 + 1
     h_lat = video.shape[2] // 8
     w_lat = video.shape[3] // 8
@@ -329,10 +345,10 @@ def _prepare_conditions_core(
     return inpaint_latents.astype(dtype), ref_latents.astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
+@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype", "shard"))
 def _prepare_conditions_jit(
     vae, vae_params, video, mask_video, reference, key,
-    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype, shard=False,
 ):
     key_ref, key_aug = jax.random.split(key)
     b, f_ref = reference.shape[:2]
@@ -342,18 +358,18 @@ def _prepare_conditions_jit(
     aug_noise = jax.random.normal(key_aug, video.shape, jnp.float32)
     return _prepare_conditions_core(
         vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
-        noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+        noise_aug_strength, add_noise_aug, scaling_factor, dtype, shard=shard,
     )
 
 
-@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype"))
+@partial(jax.jit, static_argnames=("vae", "add_noise_aug", "dtype", "shard"))
 def _prepare_conditions_override_jit(
     vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
-    noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+    noise_aug_strength, add_noise_aug, scaling_factor, dtype, shard=False,
 ):
     return _prepare_conditions_core(
         vae, vae_params, video, mask_video, reference, ref_noise, aug_noise,
-        noise_aug_strength, add_noise_aug, scaling_factor, dtype,
+        noise_aug_strength, add_noise_aug, scaling_factor, dtype, shard=shard,
     )
 
 
@@ -498,10 +514,18 @@ def _denoise_chunk_jit(
     return jax.lax.fori_loop(i0, i0 + chunk, body, carry)
 
 
-def _decode_jit(vae, vae_params, latents, scaling_factor):
+def _decode_jit(vae, vae_params, latents, scaling_factor, mesh=None):
     """Not itself jitted: ``vae_decode_auto`` may dispatch several jitted
     strip decodes when the frame is too large for one-shot decode (576x1024
-    full-frame needs >16 GB of up-block activations)."""
+    full-frame needs >16 GB of up-block activations).
+
+    Under a mesh the latents are laid out H-on-dp / W-on-sp before decode:
+    the jitted decoder inherits the operand sharding and GSPMD partitions
+    the up-blocks spatially (per-device activations shrink by dp*sp, so a
+    slice usually skips the strip tiling entirely)."""
     z = latents.astype(jnp.float32) / scaling_factor
+    if mesh is not None:
+        z = jax.device_put(z, NamedSharding(
+            mesh, PartitionSpec(None, None, "dp", "sp", None)))
     frames = vae_decode_auto(vae, vae_params, z.astype(vae.dtype)).astype(jnp.float32)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)

@@ -69,6 +69,11 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
             hf.get("use_rotary_positional_embeddings", True),
         )
         kwargs.setdefault("cross_attn_interval", hf.get("cross_attn_interval", 2))
+        for opt in ("out_channels", "cross_attn_dim_head",
+                    "cross_attn_num_heads", "time_embed_dim",
+                    "text_embed_dim", "max_text_seq_length"):
+            if opt in hf:
+                kwargs.setdefault(opt, hf[opt])
     model = CrossTransformer3DModel(dtype=dtype, param_dtype=dtype,
                                     quant=quant, **kwargs)
     sd = load_safetensors_dir(transformer_path)
@@ -335,4 +340,9 @@ def load_depthcrafter(cfg, dtype=jnp.bfloat16, host: bool = False, wrap=None):
         image_encoder=image_encoder, image_encoder_params=image_encoder_params,
         dtype=dtype,
     )
+    from trajectorycrafter_tpu.orchestrator import stage_mesh
+
+    mesh = stage_mesh(cfg)
+    if mesh is not None:
+        pipe = pipe.with_mesh(mesh)
     return DepthCrafterDemo(pipe).infer
