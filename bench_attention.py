@@ -142,6 +142,22 @@ def main():
     print(f"# dispatch_flash: {results['dispatch_flash']*1e3:.1f} ms",
           file=sys.stderr)
 
+    # PV-int8 variant (round-3 review item: measure the bounded ~0.6 s/step
+    # lever either way) -- probability tile quantized per query column, PV on
+    # the int8 MXU, QK^T kept bf16
+    if not small:
+        from trajectorycrafter_tpu.ops.attention import _flash_exp2_t_pv8
+
+        try:
+            results["dispatch_flash_pv8"] = time_chained(
+                lambda q, k, v: _flash_exp2_t_pv8(q, k, v, scale), q, k, v)
+            print(f"# dispatch_flash_pv8: "
+                  f"{results['dispatch_flash_pv8']*1e3:.1f} ms",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# dispatch_flash_pv8: failed ({str(e)[:120]})",
+                  file=sys.stderr)
+
     base = results.get("flash_stock", results.get("xla"))
     best = min(results.values())
     print(json.dumps({
