@@ -1,5 +1,6 @@
 """Tests for auxiliary subsystems: probing, datagen, profiling, export."""
 
+import pytest
 import os
 
 import numpy as np
@@ -37,6 +38,7 @@ def _tiny_dit():
     return model, params, args
 
 
+@pytest.mark.slow
 def test_collect_features_blocks():
     model, params, args = _tiny_dit()
     feats = collect_features(model, params, [1, 3], *args)
@@ -47,6 +49,7 @@ def test_collect_features_blocks():
                            np.asarray(feats["transformer_block_3"]))
 
 
+@pytest.mark.slow
 def test_probe_training_decreases_loss(rng):
     model, params, args = _tiny_dit()
     feats = collect_features(model, params, [3], *args)
@@ -70,6 +73,7 @@ def test_probe_training_decreases_loss(rng):
     assert relative_depth_error(np.asarray(pred), np.asarray(target)) >= 0
 
 
+@pytest.mark.slow
 def test_datagen_roundtrip(tmp_path, rng):
     from trajectorycrafter_tpu.datagen import (
         encode_sample,

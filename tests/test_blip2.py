@@ -93,6 +93,7 @@ def _pixels(rng, b=2):
         np.float32)
 
 
+@pytest.mark.slow
 def test_vision_model_matches_hf(hf_model, converted, rng):
     px = _pixels(rng)
     with torch.no_grad():
@@ -105,6 +106,7 @@ def test_vision_model_matches_hf(hf_model, converted, rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_prefix_and_lm_logits_match_hf(hf_model, converted, rng):
     """vision -> qformer -> projection -> OPT forward over [queries; bos]."""
     px = _pixels(rng, b=1)
@@ -132,6 +134,7 @@ def test_prefix_and_lm_logits_match_hf(hf_model, converted, rng):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_greedy_generation_ids_match_hf(hf_model, converted, rng):
     px = _pixels(rng, b=1)
     n = 8
@@ -151,6 +154,7 @@ def test_greedy_generation_ids_match_hf(hf_model, converted, rng):
     np.testing.assert_array_equal(got, hf_new)
 
 
+@pytest.mark.slow
 def test_native_captioner_end_to_end(hf_model, rng, tmp_path):
     """build_captioner's native path: a checkpoint dir (safetensors + config
     + tokenizer files) drives convert -> flax generate -> BPE decode."""

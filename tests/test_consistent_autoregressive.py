@@ -62,6 +62,7 @@ def test_merge_pcs_downsample_halves():
     assert merged[0][0].shape == (80, 3)  # (100+60)//2
 
 
+@pytest.mark.slow
 def test_estimate_depth_with_alignment_scale_shift_path(rng):
     """The trainer-backed alignment recovers a known scale on a tiny VDA."""
     from trajectorycrafter_tpu.depth_alignment import DepthAlignmentTrainer
@@ -121,6 +122,7 @@ def test_consistent_autoregressive_end_to_end(tmp_path):
         assert os.path.exists(os.path.join(sd, "c2ws_target.npy"))
 
 
+@pytest.mark.slow
 def test_segment_depth_via_vda(tmp_path, rng):
     """VDA-backed segment depth: reflect-pad to multiple-of-14, windowed
     32/10 inference, inverse->metric conversion."""

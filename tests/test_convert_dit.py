@@ -7,6 +7,7 @@ transforms must convert back to exactly that tree (names, shapes, values).
 Catches any drift between models/dit.py naming and utils/convert.convert_dit.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,7 @@ def synth_torch_sd(params, num_layers, cross_interval):
     return sd
 
 
+@pytest.mark.slow
 def test_convert_dit_roundtrip():
     model = CrossTransformer3DModel(
         num_attention_heads=2, attention_head_dim=16, in_channels=9,

@@ -161,6 +161,7 @@ def test_vae_converter_consumes_exactly_the_reference_keys():
     assert rec.consumed == expected, sorted(rec.consumed ^ expected)
 
 
+@pytest.mark.slow
 def test_vae_converted_tree_matches_flax_init_tree():
     """Structure check: a manifest-complete checkpoint converts into exactly
     the param tree AutoencoderKLCogVideoX.init produces (paths AND shapes)."""

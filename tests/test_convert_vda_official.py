@@ -143,6 +143,7 @@ def test_converted_tree_matches_model_init(rng, n_temporal):
     assert _tree_shapes(params) == _tree_shapes(want)
 
 
+@pytest.mark.slow
 def test_official_forward_runs_and_respects_zero_init(rng):
     """Converted params drive a forward; zeroing proj_out reproduces the
     temporal-free (spatial) model output exactly."""

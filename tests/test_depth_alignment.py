@@ -1,5 +1,6 @@
 """Tests for the consistent-depth alignment subsystem."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -147,6 +148,7 @@ def _tiny_vda():
     return model, params
 
 
+@pytest.mark.slow
 def test_visual_prompt_trainer_reduces_loss(rng):
     """VP-mode test-time optimisation drives the combined loss down on a
     tiny random VDA (depth_trainer.py:51-144 semantics)."""
@@ -165,6 +167,7 @@ def test_visual_prompt_trainer_reduces_loss(rng):
     assert float(jnp.abs(prompt).max()) > 0.0  # the prompt moved
 
 
+@pytest.mark.slow
 def test_ft_mode_updates_params_not_prompt(rng):
     import jax
     from trajectorycrafter_tpu.depth_alignment import DepthAlignmentTrainer

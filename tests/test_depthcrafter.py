@@ -35,6 +35,7 @@ def tiny_unet():
     return unet, params
 
 
+@pytest.mark.slow
 def test_unet_forward_shape(tiny_unet, rng):
     unet, params = tiny_unet
     sample = jnp.asarray(rng.standard_normal((1, 3, 16, 16, 8)).astype(np.float32))
@@ -45,6 +46,7 @@ def test_unet_forward_shape(tiny_unet, rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_unet_temporal_mixing(tiny_unet, rng):
     """Changing one frame must propagate to others (temporal layers work)."""
     unet, params = tiny_unet
@@ -150,6 +152,7 @@ def test_clip_parity_vs_transformers(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_windowed_depth_pipeline(tiny_unet, tiny_svd_vae):
     unet, unet_params = tiny_unet
     vae, vae_params = tiny_svd_vae

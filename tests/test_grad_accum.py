@@ -50,6 +50,7 @@ def _batch(rng, n, shapes):
     }
 
 
+@pytest.mark.slow
 def test_accumulated_micro_steps_match_big_batch(setup, rng):
     from trajectorycrafter_tpu.training import TrainState, make_train_step
     from trajectorycrafter_tpu.training.step import make_optimizer
@@ -91,6 +92,7 @@ def test_accumulated_micro_steps_match_big_batch(setup, rng):
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_supplied_timesteps_and_noise_are_honored(setup, rng):
     """batch-supplied timesteps/noise make the loss rng-independent."""
     from trajectorycrafter_tpu.training import TrainState, make_train_step

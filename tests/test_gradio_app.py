@@ -1,6 +1,7 @@
 """Gradio app tests (gradio itself is not installed in this image, so only
 the import-safe surface is covered: preset strings and the run wiring)."""
 
+import pytest
 import numpy as np
 
 
@@ -24,6 +25,7 @@ def test_presets_match_reference_show_traj():
     assert len(TRAJ_PRESETS) == 10
 
 
+@pytest.mark.slow
 def test_run_pipeline_runs_dev_pipeline(tmp_path):
     """run_pipeline drives infer_gradual into a per-run subdir."""
     import os

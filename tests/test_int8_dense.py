@@ -49,6 +49,7 @@ def tiny_io():
     )
 
 
+@pytest.mark.slow
 def test_quantized_dit_matches_bf16_tree_and_forward(tiny_io):
     """quantize_dit_params produces exactly the int8 model's param tree, and
     the int8 forward tracks the fp32 forward closely (the flag the bench
@@ -232,3 +233,55 @@ def test_int8_impl_env_escape_hatch(monkeypatch):
     expected = jax.default_backend() == "tpu"
     assert pallas_int8_ok(3072, 3072) == expected
     assert not pallas_int8_ok(3072, 3070)
+
+
+@pytest.mark.slow
+def test_quantized_depth_unet_matches_bf16_tree_and_forward(rng):
+    """quant="int8" on the SVD depth UNet: the quantized param tree matches
+    the int8 model's init structure exactly, only the intended GEMMs are
+    converted, and the forward tracks fp32 closely."""
+    from trajectorycrafter_tpu.models.depthcrafter import (
+        UNetSpatioTemporalConditionModel,
+    )
+    from trajectorycrafter_tpu.ops.int8 import quantize_depth_unet_params
+
+    kw = dict(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+              num_attention_heads=(1, 2, 2, 2), cross_attention_dim=8,
+              addition_time_embed_dim=4, norm_num_groups=4)
+    unet = UNetSpatioTemporalConditionModel(**kw)
+    b, f, hh, ww = 1, 3, 16, 16
+    sample = jnp.asarray(rng.standard_normal((b, f, hh, ww, 8)), jnp.float32)
+    t = jnp.asarray([0.5], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((b, f, 1, 8)), jnp.float32)
+    added = jnp.asarray([[6.0, 127.0, 0.02]], jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), sample, t, ctx,
+                                added)["params"]
+    want = np.asarray(unet.apply({"params": params}, sample, t, ctx, added))
+
+    qparams = quantize_depth_unet_params(params)
+    # targeted leaves converted...
+    blk = qparams["down_0_attn_0"]["transformer_blocks_0"]
+    assert "kernel_q" in blk["attn1"]["to_k"]
+    assert "kernel_q" in blk["attn1"]["to_q"]
+    assert "kernel_q" in blk["ff"]["proj_in"]
+    assert "kernel_q" in qparams["down_0_attn_0"]["proj_in"]
+    assert "kernel_q" in qparams["mid_attn"]["proj_out"]
+    # ...cross-attn k/v, embeds, and convs untouched
+    assert "kernel" in blk["attn2"]["to_k"]
+    assert "kernel" in qparams["down_0_attn_0"]["time_pos_embed_linear_1"]
+    assert "kernel" in qparams["time_embedding_linear_1"]
+    assert "kernel" in qparams["down_0_res_0"]["spatial_res_block"]["conv1"]
+
+    qunet = UNetSpatioTemporalConditionModel(quant="int8", **kw)
+    qinit = jax.jit(qunet.init)(jax.random.PRNGKey(0), sample, t, ctx,
+                                added)["params"]
+    assert (jax.tree_util.tree_structure(qinit)
+            == jax.tree_util.tree_structure(qparams))
+    got = np.asarray(qunet.apply({"params": qparams}, sample, t, ctx, added))
+    assert got.shape == want.shape
+    denom = np.abs(want).mean() + 1e-6
+    assert np.abs(got - want).mean() / denom < 0.05, (
+        np.abs(got - want).mean() / denom)
+    cos = float((got * want).sum() /
+                (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12))
+    assert cos > 0.999

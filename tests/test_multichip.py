@@ -38,6 +38,7 @@ def _model_and_inputs(shard_activations):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_inference_matches_single_device():
     """dp x sp x tp sharded forward == unsharded forward."""
     model, params, args = _model_and_inputs(shard_activations=False)
@@ -59,6 +60,7 @@ def test_sharded_inference_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_param_sharding_rules_split_heads():
     model, params, _ = _model_and_inputs(False)
     mesh = make_mesh(dp=2, sp=1, tp=4)
@@ -108,6 +110,7 @@ def _tiny_pipeline(text_len=6):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_pipeline_call_matches_unsharded():
     """Full TrajCrafterPipeline.__call__ (condition prep + CFG denoise loop
     + decode) over a dp=2 x sp=2 x tp=2 mesh matches the single-device run.
@@ -133,6 +136,7 @@ def test_sharded_pipeline_call_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+@pytest.mark.slow
 def test_cfg_pair_dp_sharding_pipeline_shape():
     """The CFG pair (batch 2) shards cleanly over dp=2."""
     model, params, args = _model_and_inputs(True)
@@ -148,6 +152,7 @@ def test_cfg_pair_dp_sharding_pipeline_shape():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_int8_inference_matches_single_device():
     """--quant int8 composed with --mesh_dp/tp: the quantized tree shards
     under the kernel_q/scale rules and the meshed forward (XLA int8 path;
@@ -228,6 +233,7 @@ def test_sharded_warp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_svd_vae_matches_single_device():
     from trajectorycrafter_tpu.models.svd_vae import (
         AutoencoderKLTemporalDecoder, svd_decode_chunked, svd_encode_chunked,
@@ -253,6 +259,7 @@ def test_sharded_svd_vae_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_depth_pipeline_matches_single_device():
     """Full windowed depth run (UNet windows + SVD VAE) sharded == single."""
     from trajectorycrafter_tpu.models.depthcrafter import (
@@ -290,6 +297,7 @@ def test_sharded_depth_pipeline_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_sharded_condition_prep_and_decode_match_single_device():
     """CogVideoX VAE condition prep + decode with spatial (H-on-dp, W-on-sp)
     sharding == single device."""

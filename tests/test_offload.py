@@ -116,6 +116,7 @@ def test_should_offload_threshold(monkeypatch):
     assert off.should_offload(81)
 
 
+@pytest.mark.slow
 def test_pipeline_offload_parity(rng):
     """A StageParams-wrapped pipeline must produce the plain pipeline's
     output bit-for-bit, and release the DiT/VAE device copies afterwards."""

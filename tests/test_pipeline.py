@@ -72,6 +72,7 @@ def _inputs(rng):
     return video, mask, reference, pe, ne
 
 
+@pytest.mark.slow
 def test_full_pipeline_ddim(tiny_pipeline, rng):
     video, mask, reference, pe, ne = _inputs(rng)
     out = tiny_pipeline(
@@ -83,6 +84,7 @@ def test_full_pipeline_ddim(tiny_pipeline, rng):
     assert np.all(np.isfinite(o)) and o.min() >= 0.0 and o.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_pipeline_no_cfg(tiny_pipeline, rng):
     video, mask, reference, pe, ne = _inputs(rng)
     out = tiny_pipeline(
@@ -92,6 +94,7 @@ def test_pipeline_no_cfg(tiny_pipeline, rng):
     assert out.shape == (1, 9, 32, 48, 3)
 
 
+@pytest.mark.slow
 def test_pipeline_seed_determinism(tiny_pipeline, rng):
     video, mask, reference, pe, ne = _inputs(rng)
     a = tiny_pipeline(pe, ne, video, mask, reference, num_inference_steps=2,
@@ -115,6 +118,7 @@ def test_pipeline_seed_determinism(tiny_pipeline, rng):
         (EulerAncestralDiscreteScheduler, {"timestep_spacing": "trailing"}),
     ],
 )
+@pytest.mark.slow
 def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
     import dataclasses
 
@@ -136,6 +140,7 @@ def test_pipeline_other_schedulers(tiny_pipeline, rng, sch_cls, kw):
         (EulerAncestralDiscreteScheduler, {"timestep_spacing": "trailing"}),
     ],
 )
+@pytest.mark.slow
 def test_chunked_dispatch_matches_monolithic(tiny_pipeline, rng, sch_cls, kw):
     """steps_per_dispatch chunking is numerically identical to one dispatch
     for every scheduler family (incl. a non-dividing final partial chunk)."""
@@ -157,6 +162,7 @@ def test_latent_output(tiny_pipeline, rng):
     assert lat.shape == (1, 3, 4, 6, LC)
 
 
+@pytest.mark.slow
 def test_strength_truncates_and_inits_from_video(tiny_pipeline, rng):
     """img2img strength: fewer denoise steps, video-latent init; PNDM raises."""
     import dataclasses
@@ -185,6 +191,7 @@ def test_strength_truncates_and_inits_from_video(tiny_pipeline, rng):
                       **kwargs)  # int(4 * 0.1) == 0
 
 
+@pytest.mark.slow
 def test_registry_samplers_run_end_to_end(tiny_pipeline, rng):
     """Every CLI sampler-menu entry (reference inference.py:87) drives the
     full pipeline through the deployed registry factories."""
@@ -200,6 +207,7 @@ def test_registry_samplers_run_end_to_end(tiny_pipeline, rng):
         assert np.all(np.isfinite(out)), name
 
 
+@pytest.mark.slow
 def test_euler_strength_truncation(tiny_pipeline, rng):
     """img2img strength with the Euler sampler: the sigma-space add_noise
     leg (timestep-valued) produces a finite, distinct trajectory."""
@@ -216,6 +224,7 @@ def test_euler_strength_truncation(tiny_pipeline, rng):
     assert np.abs(part - full).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_full_pipeline_int8_tracks_fp32(tiny_pipeline, rng):
     """quant="int8" end-to-end sampling stays close to the fp32 chain (the
     opt-in --quant int8 deployment; per-GEMM bounds in test_int8_dense)."""

@@ -65,6 +65,7 @@ def _block_params(model, rng):
 @pytest.mark.parametrize("n_microbatches", [1, 2])
 @pytest.mark.parametrize("quant,remat", [("none", False), ("int8", False),
                                          ("none", True)])
+@pytest.mark.slow
 def test_pipeline_matches_sequential(rng, n_microbatches, quant, remat):
     """The pp runner must mirror the sequential loop's block construction:
     quant (int8 stage params would otherwise fail param lookup) and remat
@@ -100,6 +101,7 @@ def test_pipeline_matches_sequential(rng, n_microbatches, quant, remat):
     np.testing.assert_allclose(np.asarray(got_e), want_e, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_stack_superblock_params_shapes():
     model = _tiny_model()
     rng = np.random.default_rng(0)

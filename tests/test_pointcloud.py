@@ -1,5 +1,6 @@
 """Tests for the global point-cloud z-buffer renderer (loop-based golden)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,7 @@ def test_behind_camera_culled():
     assert float(mask.sum()) == 0.0
 
 
+@pytest.mark.slow
 def test_lift_video_and_downsample(rng):
     f, h, w = 3, 6, 8
     frames = rng.uniform(0, 1, (f, h, w, 3)).astype(np.float32)

@@ -92,6 +92,7 @@ def _samples(rng, shapes, n=3):
     return out
 
 
+@pytest.mark.slow
 def test_collect_and_load_activation_dataset(tiny_setup, rng, tmp_path):
     from trajectorycrafter_tpu.probing import (
         ActivationDataset,

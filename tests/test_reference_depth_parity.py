@@ -116,6 +116,7 @@ def _flax_vae_and_params(torch_vae):
     return vae, params
 
 
+@pytest.mark.slow
 def test_convert_unet_param_shapes_match_flax_init(torch_unet):
     """Every converted leaf must match the flax init tree exactly (no silent
     broadcast / missing param)."""
@@ -129,6 +130,7 @@ def test_convert_unet_param_shapes_match_flax_init(torch_unet):
     assert got == want
 
 
+@pytest.mark.slow
 def test_unet_forward_parity(torch_unet, rng):
     b, f, h, w = 2, 3, 8, 8
     sample = rng.standard_normal((b, f, 8, h, w)).astype(np.float32)
@@ -152,6 +154,7 @@ def test_unet_forward_parity(torch_unet, rng):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_svd_vae_encode_parity(torch_vae, rng):
     f, h, w = 3, 32, 32
     frames = rng.uniform(-1, 1, (f, 3, h, w)).astype(np.float32)
@@ -167,6 +170,7 @@ def test_svd_vae_encode_parity(torch_vae, rng):
                                atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_svd_vae_decode_parity(torch_vae, rng):
     f, h, w = 3, 4, 4
     z = rng.standard_normal((f, 4, h, w)).astype(np.float32)
@@ -196,6 +200,7 @@ def test_svd_euler_schedule_parity():
                                float(ref.init_noise_sigma), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_windowed_pipeline_parity(torch_unet, torch_vae, rng):
     """Fixed-seed END-TO-END parity of pipelines/depth.py (windowed denoise +
     overlap chaining + decode) against the executed torch stack, matching the

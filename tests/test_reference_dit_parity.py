@@ -103,6 +103,7 @@ def test_expected_dit_keys_match_instantiated_reference(ref_mod):
 
 
 @pytest.mark.parametrize("use_rope", [True, False])
+@pytest.mark.slow
 def test_dit_forward_matches_reference(ref_mod, rng, use_rope):
     import torch
 

@@ -85,6 +85,7 @@ def _warp_fixture(rng, b=2, h=24, w=32):
 
 
 @pytest.mark.parametrize("twice", [False, True])
+@pytest.mark.slow
 def test_forward_warp_matches_reference(ref_utils, rng, twice):
     import torch
 
@@ -118,6 +119,7 @@ def test_forward_warp_matches_reference(ref_utils, rng, twice):
         np.testing.assert_allclose(np.asarray(of), rf.numpy(), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_warp_mask_clean_matches_reference(ref_utils, rng):
     """mask=True path: the cv2-dilate mask cleanup (models/utils.py:585-626).
     The reference's clean_points squeezes batch dim -> compare b=1."""
@@ -142,6 +144,7 @@ def test_forward_warp_mask_clean_matches_reference(ref_utils, rng):
     np.testing.assert_allclose(np.asarray(ow), rw.numpy(), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_bilinear_splatting_matches_reference(ref_utils, rng):
     """Direct kernel-level golden: ops/splat.bilinear_splat vs
     Warper.bilinear_splatting (models/utils.py:422-583)."""

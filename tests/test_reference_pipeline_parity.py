@@ -263,6 +263,7 @@ def _our_pipeline(ref_models, sampler="DDIM_Cog"):
      ("Euler", 1.0), ("Euler A", 1.0), ("DPM++", 1.0), ("DPM++", 0.6),
      ("PNDM", 1.0)],
 )
+@pytest.mark.slow
 def test_full_pipeline_fixed_seed_parity(ref_stack, ref_models, inputs,
                                          sampler, strength):
     """Our jitted sampling chain reproduces the reference's final latents

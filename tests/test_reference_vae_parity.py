@@ -108,6 +108,7 @@ def test_vae_encode_matches_reference(ref_vae, rng, t):
 
 
 @pytest.mark.parametrize("t_lat", [3, 2])
+@pytest.mark.slow
 def test_vae_decode_matches_reference(ref_vae, rng, t_lat):
     """t_lat=3 exercises first-chunk(3) special case; t_lat=2 single chunk."""
     import torch

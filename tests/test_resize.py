@@ -23,6 +23,7 @@ def test_bilinear_matches_torch(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bilinear_upscale_matches_torch(rng):
     x = rng.standard_normal((1, 3, 8, 11)).astype(np.float32)
     got = np.asarray(resize_linear(jnp.asarray(x), (19, 27), align_corners=False))
@@ -32,6 +33,7 @@ def test_bilinear_upscale_matches_torch(rng):
 
 
 @pytest.mark.parametrize("align", [True, False])
+@pytest.mark.slow
 def test_trilinear_matches_torch(rng, align):
     x = rng.standard_normal((1, 2, 9, 12, 14)).astype(np.float32)
     got = np.asarray(resize_linear(jnp.asarray(x), (5, 6, 7), align_corners=align))

@@ -34,6 +34,7 @@ def test_combine_is_exact(rng):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("sp", [2, 4, 8])
+@pytest.mark.slow
 def test_ring_attention_matches_full(rng, sp):
     b, h, s, d = 2, 4, 64, 16  # s divisible by every sp
     q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
@@ -47,6 +48,7 @@ def test_ring_attention_matches_full(rng, sp):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_dit_with_ring_attention_matches_xla(rng):
     """Full DiT forward with impl='ring' under an sp mesh == xla impl."""
     from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
@@ -99,6 +101,7 @@ def test_flash_lse_kernel_matches_exact(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.slow
 def test_ring_with_flash_inner(rng):
     """Ring attention with the pallas inner (interpret) == full attention."""
     from trajectorycrafter_tpu.ops.pallas.flash_lse import flash_attention_with_lse
@@ -121,6 +124,7 @@ def test_ring_with_flash_inner(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_ring_attention_uneven_tokens_pad_and_mask():
     """S not divisible by the ring size: zero-pad + key-mask must equal the
     exact attention on the true length (round-3 verdict item #6)."""

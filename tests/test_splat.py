@@ -61,6 +61,7 @@ def golden_splat(values, mask, depth, flow, is_image):
 
 
 @pytest.mark.parametrize("is_image", [True, False])
+@pytest.mark.slow
 def test_bilinear_splat_matches_golden(rng, is_image):
     h, w, c = 13, 17, 3
     values = rng.uniform(-1, 1, (h, w, c)).astype(np.float32)
@@ -81,6 +82,7 @@ def test_bilinear_splat_matches_golden(rng, is_image):
     "case",
     ["integer", "half_integer", "far_oob", "border_exact", "mixed_axis"],
 )
+@pytest.mark.slow
 def test_bilinear_splat_degenerate_landings(rng, case):
     """Edge cases of the fused one-row-per-pixel scatter (ops/splat.py:98-113).
 
@@ -153,6 +155,7 @@ def test_transform_points_behind_camera_culled():
     assert np.all(pts == 1000.0)
 
 
+@pytest.mark.slow
 def test_identity_warp_roundtrip(rng):
     """Warping with identical source/target poses must return the input.
 

@@ -12,6 +12,7 @@ from trajectorycrafter_tpu.models.t5 import T5Config, T5EncoderModel
 from trajectorycrafter_tpu.utils.convert import convert_t5_encoder
 
 
+@pytest.mark.slow
 def test_t5_matches_transformers(rng):
     hf_cfg = transformers.T5Config(
         vocab_size=100,

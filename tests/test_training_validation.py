@@ -87,6 +87,7 @@ def test_run_validation_stratifies_and_guards():
         run_validation(fake_eval, None, [])
 
 
+@pytest.mark.slow
 def test_eval_loss_is_the_training_objective():
     """make_eval_loss returns the SAME loss program as the train step with
     dropout off: supplying identical timesteps/noise via the batch must give

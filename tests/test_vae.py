@@ -34,6 +34,7 @@ def tiny_vae():
     return model, params
 
 
+@pytest.mark.slow
 def test_causal_conv_streaming_equivalence(rng):
     """Full-sequence causal conv == chunked with carried cache."""
     conv = CausalConv3d(6, (3, 3, 3))
@@ -47,6 +48,7 @@ def test_causal_conv_streaming_equivalence(rng):
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_causal_conv_decomposed_matches_conv3d(rng):
     """The shifted-2D-conv lowering (TPU fast path, auto on-chip) matches
     the conv3d lowering on identical params -- same kernel layout, only the
@@ -70,6 +72,7 @@ def test_causal_conv_decomposed_matches_conv3d(rng):
         np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_encode_decode_shapes_49(tiny_vae, rng):
     """49 frames -> 13 latent frames -> 49 frames (reference chunking)."""
     model, params = tiny_vae
@@ -120,6 +123,7 @@ def test_posterior_sample_stats(tiny_vae, rng):
     assert np.allclose(np.asarray(posterior_mode(moments, 4)), 1.5)
 
 
+@pytest.mark.slow
 def test_tiled_decode_close_to_full(tiny_vae, rng):
     """Tiled decode with overlap blending ~= full decode away from seams."""
     from trajectorycrafter_tpu.models.vae import vae_decode_tiled
@@ -143,6 +147,7 @@ def test_tiled_decode_close_to_full(tiny_vae, rng):
     assert corr > 0.2, corr
 
 
+@pytest.mark.slow
 def test_decode_auto_strips(tiny_vae, rng, monkeypatch):
     """vae_decode_auto: small frames one-shot; large frames full-width
     strips with vertical blending only, same output shape."""

@@ -79,6 +79,7 @@ def _tiny_cfg(num_temporal_blocks=0):
     )
 
 
+@pytest.mark.slow
 def test_vda_spatial_parity_vs_transformers(rng):
     hf = _tiny_hf_model()
     px = rng.standard_normal((2, 3, 56, 70), dtype=np.float32)
@@ -94,6 +95,7 @@ def test_vda_spatial_parity_vs_transformers(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vda_spatial_parity_nondefault_grid(rng):
     """Non-square input away from image_size exercises the bicubic position
     embedding interpolation (torch interpolate_pos_encoding)."""
@@ -112,6 +114,7 @@ def test_vda_spatial_parity_nondefault_grid(rng):
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_vda_temporal_blocks_shapes(rng):
     """Temporal modules keep shapes; at init they are exact identities
     (official zero_initialize=True -> zero proj_out); once proj_out is
@@ -158,6 +161,7 @@ def test_imagenet_normalise_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_infer_video_depth_windowed(rng):
     """Windowed chaining: scale/shift-aligned overlap, ramp blend, full
     coverage of an arbitrary-length clip (INFER_LEN/OVERLAP scheme)."""
