@@ -150,6 +150,23 @@ def main():
     result["depth_unet_step_s"] = round(timeit(ustep, uparams, zl), 3)
     result["depth_total_s"] = round(result["depth_unet_step_s"] * 5, 3)
 
+    # int8 variant: transformer GEMMs (~39% of the UNet's FLOPs analytically)
+    # on the int8 MXU via quantize_depth_unet_params; measured either way so
+    # the flip-on decision is evidence-backed (docs/COVERAGE.md).
+    if not small:
+        from trajectorycrafter_tpu.ops.int8 import quantize_depth_unet_params
+
+        qunet = UNetSpatioTemporalConditionModel(
+            dtype=dtype, param_dtype=dtype, quant="int8")
+        print("# quantizing depth_unet...", file=sys.stderr, flush=True)
+        quparams = jax.device_put(quantize_depth_unet_params(
+            jax.tree.map(lambda a: np.asarray(a), uparams)))
+        qstep = jax.jit(
+            lambda p, z: qunet.apply({"params": p}, z, t, clip_emb, added))
+        print("# measuring depth_unet int8...", file=sys.stderr, flush=True)
+        result["depth_unet_step_int8_s"] = round(timeit(qstep, quparams, zl), 3)
+        del quparams
+
     # --- forward-splat warp at 576x1024 ------------------------------------
     from trajectorycrafter_tpu.ops.splat import forward_warp_batch
 

@@ -46,6 +46,9 @@ def test_mesh_and_quant_plumbing():
                 "--mesh_tp", "2", "--quant", "int8")
     assert (cfg.parallel.dp, cfg.parallel.sp, cfg.parallel.tp) == (2, 2, 2)
     assert cfg.diffusion.quant == "int8"
+    assert cfg.depth.quant == "none"  # separate decision, separate flag
+    cfg = parse("--video_path", "v.mp4", "--quant_depth", "int8")
+    assert cfg.depth.quant == "int8" and cfg.diffusion.quant == "none"
 
 
 def test_validate_rejects_bad_video_length(tmp_path):

@@ -277,6 +277,21 @@ def test_quantized_depth_unet_matches_bf16_tree_and_forward(rng):
                                 added)["params"]
     assert (jax.tree_util.tree_structure(qinit)
             == jax.tree_util.tree_structure(qparams))
+    # load-path placement contracts: kernel_q stays int8 with an fp32
+    # scale side-car, everything else casts (checkpoints/offload)
+    from trajectorycrafter_tpu.utils.checkpoints import _place_quantized
+    from trajectorycrafter_tpu.utils.offload import host_cast
+
+    placed = _place_quantized(qparams, jnp.bfloat16)
+    pblk = placed["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_q"]
+    assert pblk["kernel_q"].dtype == jnp.int8
+    assert pblk["scale"].dtype == jnp.float32
+    assert placed["conv_in"]["kernel"].dtype == jnp.bfloat16
+    hosted = host_cast(qparams, jnp.bfloat16)
+    hblk = hosted["down_0_attn_0"]["transformer_blocks_0"]["attn1"]["to_q"]
+    assert hblk["kernel_q"].dtype == np.int8
+    assert hblk["scale"].dtype == np.float32
+
     got = np.asarray(qunet.apply({"params": qparams}, sample, t, ctx, added))
     assert got.shape == want.shape
     denom = np.abs(want).mean() + 1e-6

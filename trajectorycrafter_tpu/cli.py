@@ -49,6 +49,13 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=("none", "int8"),
                    help="int8: run block attn/FF GEMMs on the int8 MXU path "
                         "(~8%% faster denoise; weights quantized at load)")
+    p.add_argument("--quant_depth", type=str, default=d.depth.quant,
+                   choices=("none", "int8"),
+                   help="int8: depth-UNet transformer GEMMs on the int8 MXU. "
+                        "Measured SLOWER on v5e (2.34 vs 1.94 s/step: the "
+                        "per-token quant passes outweigh the MXU win at "
+                        "K=320-1280); kept for HBM-constrained offload runs "
+                        "(halves the UNet transformer param bytes)")
     p.add_argument("--steps_per_dispatch", type=int,
                    default=d.diffusion.steps_per_dispatch,
                    help="denoise steps per XLA execution (<=0: one dispatch)")
@@ -128,6 +135,7 @@ def config_from_args(args: argparse.Namespace) -> TrajCrafterConfig:
     cfg.diffusion.model_name = args.model_name
     cfg.diffusion.sampler_name = args.sampler_name
     cfg.diffusion.quant = args.quant
+    cfg.depth.quant = args.quant_depth
     cfg.diffusion.steps_per_dispatch = args.steps_per_dispatch
     cfg.diffusion.transformer_path = args.transformer_path
     cfg.diffusion.sample_size = tuple(args.sample_size)

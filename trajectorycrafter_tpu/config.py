@@ -78,6 +78,11 @@ class DepthConfig:
     overlap: int = 25
     max_res: int = 1024
     seed: int = 42
+    # "int8": the UNet's transformer GEMMs on the int8 MXU
+    # (ops/int8.quantize_depth_unet_params; --quant_depth int8).  Separate
+    # from diffusion.quant: depth drives all warp geometry, so flipping it
+    # is a separate quality decision.
+    quant: str = "none"
 
 
 @dataclass

@@ -30,6 +30,18 @@ import jax.numpy as jnp
 from trajectorycrafter_tpu.ops.posemb import timestep_embedding
 
 
+def _dense_cls(quant: str):
+    """nn.Dense, or Int8Dense under ``quant="int8"`` (same scheme as the
+    DiT: per-output-channel int8 weights + dynamic per-token activations,
+    ops/int8.py).  Only the transformer GEMMs route through this -- the
+    resnet convs and the tiny time/frame embeds stay bf16."""
+    if quant == "int8":
+        from trajectorycrafter_tpu.ops.int8 import Int8Dense
+
+        return Int8Dense
+    return nn.Dense
+
+
 class AlphaBlender(nn.Module):
     """Learned scalar blend of spatial/temporal branches (SVD 'mix_factor').
 
@@ -151,19 +163,26 @@ class CrossAttention(nn.Module):
     out_dim: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context=None):
+        self_attn = context is None
         if context is None:
             context = x
         b, s, _ = x.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="to_v")(context)
+        # int8 only where the big token stream flows: q/out always, k/v only
+        # for self-attention (cross-attn context is the 1-token CLIP
+        # embedding -- no GEMM time to win, pure conditioning-accuracy risk)
+        big = _dense_cls(self.quant)
+        kv = big if self_attn else nn.Dense
+        q = big(inner, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="to_q")(x)
+        k = kv(inner, use_bias=False, dtype=self.dtype,
+               param_dtype=self.param_dtype, name="to_k")(context)
+        v = kv(inner, use_bias=False, dtype=self.dtype,
+               param_dtype=self.param_dtype, name="to_v")(context)
         q = q.reshape(b, s, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
         v = v.reshape(b, -1, self.heads, self.head_dim)
@@ -182,8 +201,9 @@ class CrossAttention(nn.Module):
         impl = "flash_stock" if (on_tpu and s * s_kv >= 1024 * 1024) else "xla"
         out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
                                    impl=impl)
-        return nn.Dense(self.out_dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="to_out")(out)
+        return _dense_cls(self.quant)(
+            self.out_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -191,15 +211,17 @@ class GEGLUFeedForward(nn.Module):
     mult: int = 4
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(2 * self.dim * self.mult, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="proj_in")(x)
+        dense = _dense_cls(self.quant)
+        h = dense(2 * self.dim * self.mult, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="proj_in")(x)
         a, g = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(g, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj_out")(h)
+        return dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj_out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -209,6 +231,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context):
@@ -217,13 +240,16 @@ class BasicTransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype, name=name)
         h = ln("norm1")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CrossAttention(self.heads, hd, self.dim, self.dtype,
-                               self.param_dtype, name="attn1")(h)
+                               self.param_dtype, quant=self.quant,
+                               name="attn1")(h)
         h = ln("norm2")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CrossAttention(self.heads, hd, self.dim, self.dtype,
-                               self.param_dtype, name="attn2")(h, context)
+                               self.param_dtype, quant=self.quant,
+                               name="attn2")(h, context)
         h = ln("norm3")(x.astype(jnp.float32)).astype(x.dtype)
         return x + GEGLUFeedForward(self.dim, dtype=self.dtype,
-                                    param_dtype=self.param_dtype, name="ff")(h)
+                                    param_dtype=self.param_dtype,
+                                    quant=self.quant, name="ff")(h)
 
 
 class TemporalBasicTransformerBlock(nn.Module):
@@ -233,6 +259,7 @@ class TemporalBasicTransformerBlock(nn.Module):
     heads: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context):
@@ -242,16 +269,20 @@ class TemporalBasicTransformerBlock(nn.Module):
                                        param_dtype=self.param_dtype, name=name)
         h = ln("norm_in")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name="ff_in")(h)
+                                 param_dtype=self.param_dtype,
+                                 quant=self.quant, name="ff_in")(h)
         h = ln("norm1")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CrossAttention(self.heads, hd, self.dim, self.dtype,
-                               self.param_dtype, name="attn1")(h)
+                               self.param_dtype, quant=self.quant,
+                               name="attn1")(h)
         h = ln("norm2")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CrossAttention(self.heads, hd, self.dim, self.dtype,
-                               self.param_dtype, name="attn2")(h, context)
+                               self.param_dtype, quant=self.quant,
+                               name="attn2")(h, context)
         h = ln("norm3")(x.astype(jnp.float32)).astype(x.dtype)
         return x + GEGLUFeedForward(self.dim, dtype=self.dtype,
-                                    param_dtype=self.param_dtype, name="ff")(h)
+                                    param_dtype=self.param_dtype,
+                                    quant=self.quant, name="ff")(h)
 
 
 class TransformerSpatioTemporal(nn.Module):
@@ -261,6 +292,7 @@ class TransformerSpatioTemporal(nn.Module):
     groups: int = 32
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, context, num_frames: int):
@@ -272,8 +304,9 @@ class TransformerSpatioTemporal(nn.Module):
                          param_dtype=self.param_dtype, name="norm")(
             x.astype(jnp.float32)).astype(x.dtype)
         h = h.reshape(bf, hh * ww, c)
-        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_in")(h)
+        h = _dense_cls(self.quant)(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="proj_in")(h)
 
         # temporal context: first frame's embedding per batch, tiled over pixels
         ctx_first = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
@@ -293,20 +326,22 @@ class TransformerSpatioTemporal(nn.Module):
 
         for i in range(self.num_layers):
             h = BasicTransformerBlock(self.dim, self.heads, self.dtype,
-                                      self.param_dtype,
+                                      self.param_dtype, quant=self.quant,
                                       name=f"transformer_blocks_{i}")(h, context)
             # (B*F, HW, C) -> (B*HW, F, C)
             ht = (h + femb).reshape(b, num_frames, hh * ww, self.dim)
             ht = jnp.moveaxis(ht, 1, 2).reshape(b * hh * ww, num_frames, self.dim)
             ht = TemporalBasicTransformerBlock(
                 self.dim, self.heads, self.dtype, self.param_dtype,
+                quant=self.quant,
                 name=f"temporal_transformer_blocks_{i}")(ht, time_context)
             ht = ht.reshape(b, hh * ww, num_frames, self.dim)
             ht = jnp.moveaxis(ht, 2, 1).reshape(bf, hh * ww, self.dim)
             h = AlphaBlender(self.param_dtype, name="time_mixer")(h, ht)
 
-        h = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="proj_out")(h)
+        h = _dense_cls(self.quant)(
+            c, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="proj_out")(h)
         return residual + h.reshape(bf, hh, ww, c)
 
 
@@ -324,6 +359,11 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     norm_num_groups: int = 32
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # "int8": transformer GEMMs (self-attn q/k/v/out, cross-attn q/out,
+    # GEGLU FF, spatio-temporal proj_in/out) run on the int8 MXU; params
+    # produced by ops.int8.quantize_depth_unet_params.  Resnet convs and
+    # embeds stay in `dtype`.
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -377,7 +417,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 if has_attn:
                     x = TransformerSpatioTemporal(
                         ch, self.num_attention_heads[i], 1, self.norm_num_groups,
-                        self.dtype, self.param_dtype,
+                        self.dtype, self.param_dtype, quant=self.quant,
                         name=f"down_{i}_attn_{j}")(x, ctx, f)
                 skips.append(x)
             if i < n - 1:
@@ -393,7 +433,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                                    name="mid_res_0")(x, temb, f)
         x = TransformerSpatioTemporal(ch, self.num_attention_heads[-1], 1,
                                       self.norm_num_groups, self.dtype,
-                                      self.param_dtype, name="mid_attn")(x, ctx, f)
+                                      self.param_dtype, quant=self.quant,
+                                      name="mid_attn")(x, ctx, f)
         x = SpatioTemporalResBlock(ch, groups=self.norm_num_groups, dtype=self.dtype,
                                    param_dtype=self.param_dtype,
                                    name="mid_res_1")(x, temb, f)
@@ -415,6 +456,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     x = TransformerSpatioTemporal(
                         ch, self.num_attention_heads[block_idx], 1,
                         self.norm_num_groups, self.dtype, self.param_dtype,
+                        quant=self.quant,
                         name=f"up_{i}_attn_{j}")(x, ctx, f)
             if i < n - 1:
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

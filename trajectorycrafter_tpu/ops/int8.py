@@ -171,3 +171,33 @@ def quantize_dit_params(params: Any, targets=DIT_INT8_TARGETS) -> Any:
         return tree
 
     return walk(params, ())
+
+
+# Depth-UNet (SVD spatio-temporal) int8 surface: the transformer GEMMs.
+# Mirrors models/depthcrafter.py's module swap EXACTLY -- self-attention
+# q/k/v/out, cross-attention q/out (k/v read the 1-token CLIP context:
+# nothing to win, conditioning-accuracy risk), GEGLU FF proj_in/out, and
+# the TransformerSpatioTemporal-level proj_in/out.  Resnet convs, the
+# time/frame embeds (time_pos_embed_linear_*), and AlphaBlender stay bf16.
+import re as _re
+
+_DEPTH_ATTN_MODULE = _re.compile(r"^(down|up)_\d+_attn_\d+$|^mid_attn$")
+
+
+def quantize_depth_unet_params(params: Any) -> Any:
+    """Quantize a UNetSpatioTemporalConditionModel param tree for
+    ``quant="int8"`` (models/depthcrafter.py)."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if ("kernel" in tree and len(path) >= 2
+                    and _DEPTH_ATTN_MODULE.match(path[0])
+                    and len(jnp.shape(tree["kernel"])) == 2):
+                leaf = path[-1]
+                if leaf in ("to_q", "to_out", "proj_in", "proj_out") or (
+                        leaf in ("to_k", "to_v") and path[-2] == "attn1"):
+                    return quantize_dense_params(tree)
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return tree
+
+    return walk(params, ())

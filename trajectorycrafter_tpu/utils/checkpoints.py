@@ -106,20 +106,22 @@ def load_dit(transformer_path: str, dtype=jnp.bfloat16, quant: str = "none",
         params = quantize_dit_params(params)
         if host:
             return model, _cast_tree(params, dtype, host=True)
-
-        def place(tree):
-            if isinstance(tree, dict):
-                if "kernel_q" in tree:  # quantized Dense: keep int8 + f32 scale
-                    out = {"kernel_q": jnp.asarray(tree["kernel_q"]),
-                           "scale": jnp.asarray(tree["scale"])}
-                    if "bias" in tree:
-                        out["bias"] = jnp.asarray(tree["bias"], dtype)
-                    return out
-                return {k: place(v) for k, v in tree.items()}
-            return jnp.asarray(tree, dtype)
-
-        return model, place(params)
+        return model, _place_quantized(params, dtype)
     return model, _cast_tree(params, dtype, host=host)
+
+
+def _place_quantized(tree, dtype):
+    """Device-place a host-quantized tree: kernel_q stays int8, its fp32
+    scale side-car is not downcast, everything else casts to ``dtype``."""
+    if isinstance(tree, dict):
+        if "kernel_q" in tree:
+            out = {"kernel_q": jnp.asarray(tree["kernel_q"]),
+                   "scale": jnp.asarray(tree["scale"])}
+            if "bias" in tree:
+                out["bias"] = jnp.asarray(tree["bias"], dtype)
+            return out
+        return {k: _place_quantized(v, dtype) for k, v in tree.items()}
+    return jnp.asarray(tree, dtype)
 
 
 def load_vae(vae_path: str, dtype=jnp.bfloat16, host: bool = False):
@@ -316,10 +318,21 @@ def load_depthcrafter(cfg, dtype=jnp.bfloat16, host: bool = False, wrap=None):
 
     if wrap is None:
         wrap = lambda tree, name: tree
-    unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype)
-    unet_params = wrap(_cast_tree(
-        convert_svd_unet(load_safetensors_dir(cfg.depth.unet_path)),
-        dtype, host=host), "svd_unet")
+    quant = getattr(cfg.depth, "quant", "none")
+    unet = UNetSpatioTemporalConditionModel(dtype=dtype, param_dtype=dtype,
+                                            quant=quant)
+    unet_raw = convert_svd_unet(load_safetensors_dir(cfg.depth.unet_path))
+    if quant == "int8":
+        # transformer GEMMs to per-output-channel int8, host-side (same
+        # scheme/measured path as load_dit; --quant_depth int8)
+        from trajectorycrafter_tpu.ops.int8 import quantize_depth_unet_params
+
+        unet_raw = quantize_depth_unet_params(unet_raw)
+        unet_params = wrap(
+            _cast_tree(unet_raw, dtype, host=True) if host
+            else _place_quantized(unet_raw, dtype), "svd_unet")
+    else:
+        unet_params = wrap(_cast_tree(unet_raw, dtype, host=host), "svd_unet")
     vae = AutoencoderKLTemporalDecoder(dtype=dtype, param_dtype=dtype)
     vae_params = wrap(_cast_tree(
         convert_svd_vae(load_safetensors_dir(
