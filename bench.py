@@ -423,13 +423,14 @@ def main():
         # are tiny vs compute (ring KV hop ~1 ms against ~25 ms/layer of
         # sharded attention compute), so linear/8 is the ceiling; the
         # conservative figure applies a flat 0.85 ICI/imbalance efficiency.
-        best384 = int8_step384_s or step384_s
+        best384 = min(s for s in (int8_step384_s, step384_s) if s is not None)
         v8_ideal = (50.0 * best384 + non_denoise_s) / 8.0
         result["projected_8chip_video_384x672_s_ideal"] = round(v8_ideal, 1)
         result["projected_8chip_video_384x672_s"] = round(v8_ideal / 0.85, 1)
         result["projected_8chip_vs_baseline_video"] = round(
             290.0 / (v8_ideal / 0.85), 2)
-        v8_576 = (50.0 * (int8_step_s or step_s) + non_denoise_576_s) / 8.0
+        best576 = min(s for s in (int8_step_s, step_s) if s is not None)
+        v8_576 = (50.0 * best576 + non_denoise_576_s) / 8.0
         result["projected_8chip_video_576x1024_s"] = round(v8_576 / 0.85, 1)
         result["projection_note"] = (
             "8-chip numbers are projections from single-chip stage "

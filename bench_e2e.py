@@ -193,7 +193,7 @@ def int8_ab(small: bool, psnr_pass_db: float) -> dict:
     """Same-seed bf16-vs-int8 A/B: run the orchestrator twice, compare the
     two gen.mp4s with utils/quality, return the flip-on decision artifact
     (the round-3 verdict's automated int8 quality gate)."""
-    from trajectorycrafter_tpu.utils.quality import video_quality
+    from trajectorycrafter_tpu.utils.quality import gate_metrics, video_quality
     from trajectorycrafter_tpu.utils.video import f01_to_u8, read_video_frames
 
     paths = {}
@@ -204,13 +204,7 @@ def int8_ab(small: bool, psnr_pass_db: float) -> dict:
         paths[tag] = os.path.join(cfg.save_dir, "gen.mp4")
     a = read_video_frames(paths["bf16"], -1, width=None, height=None)
     b = read_video_frames(paths["int8"], -1, width=None, height=None)
-    m = video_quality(f01_to_u8(a), f01_to_u8(b))
-    m["pass"] = bool(m["psnr_db"] >= psnr_pass_db
-                     and m["psnr_min_frame_db"] >= psnr_pass_db)
-    m["psnr_pass_db"] = psnr_pass_db
-    for k in ("psnr_db", "psnr_min_frame_db"):
-        if not np.isfinite(m[k]):
-            m[k] = 99.0
+    m = gate_metrics(video_quality(f01_to_u8(a), f01_to_u8(b)), psnr_pass_db)
     m["weights"] = ("dev-scale synthetic" if small
                     else "full-scale synthetic (real weights unreachable)")
     return m

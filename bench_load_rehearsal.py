@@ -110,6 +110,7 @@ def write_checkpoint(small: bool) -> dict:
     if shard:
         save_file(shard, os.path.join(
             OUT_DIR, f"model-{shard_idx:05d}.safetensors"))
+        shard_idx += 1
     with open(os.path.join(OUT_DIR, "config.json"), "w") as f:
         json.dump(cfg, f)
     save_s = time.time() - t0
@@ -117,7 +118,7 @@ def write_checkpoint(small: bool) -> dict:
     gc.collect()
     return {"torch_build_s": round(build_s, 1), "save_s": round(save_s, 1),
             "params": n_params, "checkpoint_gb": round(total_bytes / 1e9, 2),
-            "shards": shard_idx + 1}
+            "shards": shard_idx}
 
 
 def load_and_forward(quant: str, small: bool) -> dict:
@@ -133,7 +134,7 @@ def load_and_forward(quant: str, small: bool) -> dict:
     # one denoise-style CFG forward (batch 2) at a reduced latent grid: the
     # rehearsal proves the 6.1B weights load and compute, not step latency
     # (bench.py measures that at the production 49f x 576x1024 grid)
-    f, h, w = (2, 8, 12) if not small else (2, 8, 12)
+    f, h, w = 2, 8, 12
     from trajectorycrafter_tpu.ops.rope import rope_for_sample
 
     cos, sin = rope_for_sample(model.attention_head_dim, h * 8, w * 8, f)

@@ -108,3 +108,33 @@ def test_pv8_dispatch_path(rng):
     err = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
     assert got.shape == want.shape
     assert err.mean() < 3e-2, err.mean()
+
+
+def test_pv8_pad_does_not_contaminate_block_max(rng):
+    """Zero-padded K rows score exactly 0; when every real score is negative
+    they must not win the per-query block max (which would crush real keys'
+    p8 to zero and return an all-zeros output)."""
+    from trajectorycrafter_tpu.ops.pallas.flash_pv8 import (
+        flash_attention_exp2_t_pv8,
+    )
+
+    b, h, s, d, pad = 1, 1, 256, 64, 40
+    u = np.ones(d, np.float32) / 8.0  # |u|^2 == 1
+    q = np.broadcast_to(u, (b, h, s, d)) + 0.01 * rng.standard_normal(
+        (b, h, s, d)).astype(np.float32)
+    k = np.broadcast_to(-80.0 * u, (b, h, s, d)) + 0.01 * rng.standard_normal(
+        (b, h, s, d)).astype(np.float32)  # all real scores ~ -10 (post-scale)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    mask = (np.arange(s) < s - pad).astype(np.float32)[None, None, :, None]
+    k, v = jnp.asarray(k * mask), jnp.asarray(v * mask)
+    q = jnp.asarray(q)
+    scale = d**-0.5
+    want = np.asarray(
+        _ref_attention(q, k[:, :, : s - pad], v[:, :, : s - pad], scale))
+    got = flash_attention_exp2_t_pv8(
+        q, k, v, kv_pad=pad, sm_scale=scale, block_q=128, block_k=128,
+        interpret=True)
+    got = np.asarray(jnp.swapaxes(got, 2, 3)).astype(np.float32)
+    assert np.abs(got).max() > 0.01, "all-zeros output: pad won the max"
+    err = np.abs(got - want) / (np.abs(want).mean() + 1e-6)
+    assert err.mean() < 3e-2, err.mean()

@@ -142,3 +142,29 @@ def test_ring_attention_uneven_tokens_pad_and_mask():
         got = ring_attention(q, k, v, mesh, axis_name="sp", scale=scale)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5, err_msg=f"s={s}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+@pytest.mark.parametrize("s,sp", [(109, 4), (109, 8), (5, 8)])
+def test_ring_uneven_tokens_with_maskless_flash_inner(rng, s, sp):
+    """S % ring != 0 with an inner that does NOT take key_mask (the pallas
+    flash-lse wrapper): the analytic zero-key correction must equal exact
+    attention, including fully-padded visiting shards (s=5, sp=8)."""
+    from trajectorycrafter_tpu.ops.pallas.flash_lse import flash_attention_with_lse
+
+    def inner(q, k, v, scale):  # no key_mask kwarg, like flash_lse_inner
+        o, lse = flash_attention_with_lse(q, k, v, sm_scale=scale,
+                                          block_q=128, block_k=128,
+                                          interpret=True)
+        return o.astype(jnp.float32), lse
+
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    scale = d**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale))
+    mesh = make_mesh(dp=1, sp=sp, tp=1)
+    got = np.asarray(ring_attention(q, k, v, mesh, scale=scale, inner=inner))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -48,7 +48,7 @@ _LOG2_127 = math.log2(127.0)
 
 
 def _kernel(scale_ref, q_ref, k_ref, v8_ref, o_ref, q_scr, acc_scr,
-            *, out_dim: int, scale: float):
+            *, out_dim: int, scale: float, kv_limit: int | None):
     g = pl.program_id(0)
     j = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -64,8 +64,17 @@ def _kernel(scale_ref, q_ref, k_ref, v8_ref, o_ref, q_scr, acc_scr,
         preferred_element_type=jnp.float32,
     )
     s_t = jnp.minimum(s_t, _CLAMP)
-    # per-query block max, shifted so the quantized max lands on 127
-    m_adj = jnp.max(s_t, axis=0, keepdims=True) - _LOG2_127  # (1, bq)
+    if kv_limit is not None:
+        # Zero-padded K rows score 0 and would contaminate the per-query
+        # block max whenever every real score is negative (crushing real
+        # keys' p8 to 0); mask them out of the max explicitly.
+        bk = s_t.shape[0]
+        row = j * bk + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        s_t = jnp.where(row < kv_limit, s_t, -1e30)
+    # per-query block max, shifted so the quantized max lands on 127;
+    # floor at -_CLAMP so a fully-padded block yields p8 == 0 (not 127)
+    m_adj = jnp.maximum(
+        jnp.max(s_t, axis=0, keepdims=True) - _LOG2_127, -_CLAMP)  # (1, bq)
     p8 = jnp.round(jnp.exp2(s_t - m_adj)).astype(jnp.int8)
     # [numerator | 127*denominator] (d+1, bq) on the int8 MXU
     pv = jax.lax.dot_general(
@@ -126,7 +135,8 @@ def flash_attention_exp2_t_pv8(
     grid = (bh, sq // block_q, skv // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, out_dim=d, scale=float(sm_scale) * math.log2(math.e)),
+            _kernel, out_dim=d, scale=float(sm_scale) * math.log2(math.e),
+            kv_limit=(skv - kv_pad) if kv_pad else None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # v scales
             grid=grid,

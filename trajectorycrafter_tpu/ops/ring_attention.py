@@ -75,6 +75,13 @@ def ring_attention(
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[axis_name]
 
+    # Custom inners (e.g. the pallas flash-lse wrapper) may not take a
+    # key_mask kwarg; detect once so the pad path works for any inner.
+    import inspect
+    _params = inspect.signature(inner).parameters
+    inner_takes_mask = ("key_mask" in _params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in _params.values()))
+
     s_true = q.shape[2]
     pad = (-s_true) % n
     if pad:
@@ -92,10 +99,27 @@ def ring_attention(
                 visiting = jax.lax.rem(me - t + n, n)
                 pos = visiting * s_loc + jnp.arange(s_loc)
                 key_mask = pos < s_true
+                if inner_takes_mask:
+                    o_i, lse_i = inner(q_l, k_cur, v_cur, scale,
+                                       key_mask=key_mask)
+                else:
+                    # The inner ran a plain softmax over the zero-padded
+                    # keys.  Each padded key scores exactly 0 (zero K row)
+                    # so it adds exp(0) = 1 to the denominator and nothing
+                    # to the numerator (zero V row) -- remove those terms
+                    # exactly: l_true = l_incl - n_pad, done in log domain.
+                    o_i, lse_i = inner(q_l, k_cur, v_cur, scale)
+                    n_pad_here = jnp.sum(
+                        jnp.logical_not(key_mask)).astype(jnp.float32)
+                    keep = 1.0 - n_pad_here * jnp.exp(-lse_i)
+                    empty = keep <= 1e-12  # fully-padded visiting shard
+                    keep_safe = jnp.maximum(keep, 1e-30)
+                    lse_i = jnp.where(empty, -1e30,
+                                      lse_i + jnp.log(keep_safe))
+                    o_i = jnp.where(empty[..., None], 0.0,
+                                    o_i / keep_safe[..., None])
             else:
-                key_mask = None
-            o_i, lse_i = inner(q_l, k_cur, v_cur, scale, key_mask=key_mask) \
-                if pad else inner(q_l, k_cur, v_cur, scale)
+                o_i, lse_i = inner(q_l, k_cur, v_cur, scale)
             o_acc, lse_acc = _combine(o_acc, lse_acc, o_i, lse_i)
             perm = [(i, (i + 1) % n) for i in range(n)]
             k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)

@@ -286,8 +286,9 @@ def _denoise_window_jit(unet, params, scheduler, state, latents, cond_latents,
         return scheduler.step(state, pred, i, lat)
 
     if shard:
+        lat = latents
         for i in range(num_steps):
-            lat = body(i, latents if i == 0 else lat)
+            lat = body(i, lat)
         return lat
     return jax.lax.fori_loop(0, num_steps, body, latents)
 

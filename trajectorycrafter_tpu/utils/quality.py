@@ -86,6 +86,23 @@ def video_quality(a: np.ndarray, b: np.ndarray,
     }
 
 
+def gate_metrics(m: Dict[str, float], psnr_pass_db: float) -> Dict[str, float]:
+    """Apply the pass/fail gate to video_quality metrics, in place.
+
+    Single source of truth for the acceptance criterion (CLI and
+    bench_e2e's int8 A/B both call this): pass requires BOTH overall and
+    weakest-frame PSNR above the bar, and infinite PSNR (identical videos)
+    is capped at 99.0 dB so the JSON stays strict-parseable.
+    """
+    m["pass"] = bool(m["psnr_db"] >= psnr_pass_db
+                     and m["psnr_min_frame_db"] >= psnr_pass_db)
+    m["psnr_pass_db"] = float(psnr_pass_db)
+    for k in ("psnr_db", "psnr_min_frame_db"):
+        if not np.isfinite(m[k]):
+            m[k] = 99.0
+    return m
+
+
 def main(argv=None) -> None:
     import argparse
     import json
@@ -118,12 +135,7 @@ def main(argv=None) -> None:
     m = video_quality(f01_to_u8(a[:n]), f01_to_u8(b[:n]))
     if len(a) != len(b):
         m["frames_a"], m["frames_b"] = int(len(a)), int(len(b))
-    m["pass"] = bool(m["psnr_db"] >= args.psnr_pass_db
-                     and m["psnr_min_frame_db"] >= args.psnr_pass_db)
-    # identical videos give inf PSNR; cap so json stays strict-parseable
-    for k in ("psnr_db", "psnr_min_frame_db"):
-        if not np.isfinite(m[k]):
-            m[k] = 99.0
+    gate_metrics(m, args.psnr_pass_db)
     print(json.dumps(m))
     if not m["pass"]:
         raise SystemExit(1)
