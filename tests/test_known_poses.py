@@ -240,3 +240,104 @@ def test_infer_sample_end_to_end_dev_scale(tmp_path):
     assert gen.shape == (T, 32, 48, 3)
     assert np.all(np.isfinite(gen))
     assert os.path.getsize(os.path.join(cfg.save_dir, "gen.mp4")) > 0
+
+
+@pytest.mark.slow
+def test_infer_smooth_end_to_end_with_eval(tmp_path):
+    """Smooth variant: SLERP-interpolated per-frame target cameras + the
+    held-out target-view eval JSON (the reference's
+    run_w_cam_poses_mvtracker_smooth.py:469-689 path)."""
+    import json
+
+    from scipy.spatial.transform import Rotation
+
+    from trajectorycrafter_tpu.known_poses import (
+        CameraPoseTrajCrafter,
+        load_mvtracker_npz,
+    )
+
+    rng = np.random.default_rng(5)
+    V, T, H, W = 2, 9, 48, 80
+    extrs = np.tile(np.hstack([np.eye(3), np.zeros((3, 1))]), (V, T, 1, 1))
+    extrs[1, :, :3, :3] = Rotation.from_euler("y", 0.15).as_matrix()
+    extrs[1, :, 0, 3] = 0.3
+    path = tmp_path / "kubric.npz"
+    np.savez(
+        path,
+        video=rng.uniform(0, 255, (V, T, 3, H, W)).astype(np.uint8),
+        videodepth=rng.uniform(2, 5, (V, T, 1, H, W)).astype(np.float32),
+        intrs=np.tile(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]]),
+                      (V, T, 1, 1)),
+        extrs=extrs,
+    )
+    sample = load_mvtracker_npz(str(path))
+
+    cfg = TrajCrafterConfig()
+    cfg.allow_dev_stubs = True
+    cfg.video_length = T
+    cfg.warp_size = (H, W)
+    cfg.diffusion.sample_size = (32, 48)
+    cfg.diffusion.num_inference_steps = 2
+    cfg.diffusion.prompt = "a scene"
+    cfg.save_dir = str(tmp_path / "out")
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    tc = CameraPoseTrajCrafter(cfg)
+    gen, metrics = tc.infer_camera_poses_smooth(
+        sample["frames"], sample["depths"],
+        sample["source_cam"], sample["target_cam"],
+        target_frames=sample["target_frames"],
+    )
+    assert gen.shape == (T, 32, 48, 3)
+    assert metrics is not None
+    for k in ("PSNR", "SSIM", "MS_SSIM"):
+        assert np.isfinite(metrics["metrics"][k])
+    with open(os.path.join(cfg.save_dir, "metrics.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["metrics"] == metrics["metrics"]
+    for artifact in ("metrics_summary.txt", "last_frame_comparison_smooth.png",
+                     "target_gt_smooth.mp4",
+                     "comparison_gen_vs_target_smooth.mp4"):
+        assert os.path.getsize(os.path.join(cfg.save_dir, artifact)) > 0
+
+
+def test_smooth_warp_uses_interpolated_cameras(tmp_path):
+    """The per-frame target extrinsics/intrinsics must actually move: frame 0
+    warps to the (fixed) source view, the last frame to the target view."""
+    import jax.numpy as jnp
+
+    from trajectorycrafter_tpu.geometry.interpolate import (
+        interpolate_intrinsics,
+        interpolate_poses,
+    )
+    from trajectorycrafter_tpu.known_poses import CalibratedCamera
+    from trajectorycrafter_tpu.ops.splat import forward_warp_batch
+
+    rng = np.random.default_rng(9)
+    n, H, W = 5, 24, 32
+    frames = rng.uniform(0, 1, (n, H, W, 3)).astype(np.float32)
+    depths = np.full((n, H, W), 3.0, np.float32)
+    src = CalibratedCamera(K=np.array([[40.0, 0, W / 2], [0, 40.0, H / 2],
+                                       [0, 0, 1]]),
+                           R=np.eye(3), t=np.zeros(3))
+    tgt = CalibratedCamera(K=src.K * np.array([[1.5, 1, 1.2],
+                                               [0, 1.5, 1.2], [0, 0, 1]]),
+                           R=np.eye(3), t=np.array([0.5, 0.0, 0.0]))
+
+    t2 = interpolate_poses(src.w2c, tgt.w2c, n)
+    k2 = interpolate_intrinsics(src.K, tgt.K, n)
+    t1 = jnp.tile(jnp.asarray(src.w2c, jnp.float32)[None], (n, 1, 1))
+    k1 = jnp.tile(jnp.asarray(src.K, jnp.float32)[None], (n, 1, 1))
+    warped, masks, _, _ = forward_warp_batch(
+        jnp.asarray(frames * 2 - 1), jnp.asarray(depths), t1, t2, k1, k2)
+    warped, masks = np.asarray(warped), np.asarray(masks)
+
+    # frame 0: identity warp (target == source camera) -> full coverage,
+    # pixels essentially unchanged
+    assert masks[0].mean() > 0.99
+    np.testing.assert_allclose((warped[0] + 1) / 2, frames[0], atol=2e-2)
+    # last frame: translated camera -> part of the view disoccludes
+    assert masks[-1].mean() < masks[0].mean() - 0.05
+    # and the warps differ monotonically along the path
+    diffs = [float(np.abs(warped[i] - warped[0]).mean()) for i in range(n)]
+    assert diffs[-1] > diffs[1] > 0.0

@@ -25,6 +25,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from trajectorycrafter_tpu.geometry.interpolate import (
+    interpolate_intrinsics,
+    interpolate_poses,
+)
 from trajectorycrafter_tpu.ops.splat import forward_warp_batch
 from trajectorycrafter_tpu.orchestrator import TrajCrafter
 
@@ -374,10 +378,149 @@ class CameraPoseTrajCrafter(TrajCrafter):
         self.cfg.save_dir = base
         return outs
 
-    def infer_sample(self, sample: dict, prompt: Optional[str] = None) -> np.ndarray:
+    def infer_camera_poses_smooth(
+        self,
+        frames: np.ndarray,  # (F, H, W, 3) source-view frames in [0, 1]
+        depths: Optional[np.ndarray],  # (F, H, W) metric depth or None
+        source_cam: CalibratedCamera,
+        target_cam: CalibratedCamera,
+        target_frames: Optional[np.ndarray] = None,  # held-out GT view
+        prompt: Optional[str] = None,
+    ) -> Tuple[np.ndarray, Optional[dict]]:
+        """Smooth source->target camera fly: per-frame SLERP-interpolated
+        extrinsics + lerp-interpolated intrinsics, then target-view eval
+        against the held-out ground-truth camera.
+
+        Port of the reference's smooth MVTracker variant
+        (run_w_cam_poses_mvtracker_smooth.py:469-689): the source camera stays
+        fixed while the per-frame target camera interpolates from source to
+        target over the clip (:563-578 -- note the reference interpolates the
+        dataset's raw [R|t] world-to-camera matrices directly, which this
+        matches), and the final generated frame is scored against the final
+        ground-truth target frame (:660-685).
+        """
+        cfg = self.cfg
+        n = frames.shape[0]
+        if depths is None:
+            depths = self._estimate_depth(frames)[:, 0]
+        prompt = (prompt or self.models.get_caption(frames[n // 2])) + \
+            cfg.diffusion.refine_prompt
+
+        t2 = interpolate_poses(source_cam.w2c, target_cam.w2c, n)
+        k2 = interpolate_intrinsics(source_cam.K, target_cam.K, n)
+        t1 = jnp.tile(jnp.asarray(source_cam.w2c, jnp.float32)[None], (n, 1, 1))
+        k1 = jnp.tile(jnp.asarray(source_cam.K, jnp.float32)[None], (n, 1, 1))
+        warped, masks, _, _ = forward_warp_batch(
+            jnp.asarray(frames * 2.0 - 1.0), jnp.asarray(depths),
+            t1, t2, k1, k2, use_mask_clean=cfg.render.mask,
+        )
+        cond = (np.asarray(warped) + 1.0) / 2.0
+        gen = self._diffuse_and_save(
+            frames, cond, np.asarray(masks), prompt,
+            ref_slice=slice(0, cfg.diffusion.ref_frames),
+        )
+
+        metrics = None
+        if target_frames is not None:
+            metrics = evaluate_target_view(
+                gen, target_frames, cfg.save_dir,
+                seq_name="smooth", fps=cfg.fps,
+            )
+        return gen, metrics
+
+    def infer_sample(self, sample: dict, prompt: Optional[str] = None,
+                     smooth: bool = False) -> np.ndarray:
         """Run a loader-produced sample (load_mvtracker_npz / load_som_sequence
         / an IPhoneSequence flattened into the same keys) end-to-end."""
+        if smooth:
+            gen, _ = self.infer_camera_poses_smooth(
+                sample["frames"], sample.get("depths"),
+                sample["source_cam"], sample["target_cam"],
+                target_frames=sample.get("target_frames"), prompt=prompt,
+            )
+            return gen
         return self.infer_camera_poses(
             sample["frames"], sample.get("depths"),
             sample["source_cam"], sample["target_cam"], prompt,
         )
+
+
+def evaluate_target_view(
+    gen: np.ndarray,  # (F, Hs, Ws, 3) generated frames in [0, 1]
+    target_frames: np.ndarray,  # (F, H, W, 3) held-out GT view in [0, 1]
+    save_dir: str,
+    seq_name: str = "seq",
+    fps: int = 10,
+) -> dict:
+    """Score the last generated frame against the last ground-truth target
+    frame and persist the eval artifacts.
+
+    Port of the reference's metric block
+    (run_w_cam_poses_mvtracker_smooth.py:31-156): PSNR + SSIM as there;
+    LPIPS is replaced by MS-SSIM (``ms_ssim_perceptual``) because the LPIPS
+    AlexNet weights are unreachable offline -- documented in the JSON.
+    Writes metrics.json + metrics_summary.txt + last-frame comparison pngs +
+    a target-GT video + a side-by-side gen-vs-target video (:691-773).
+    """
+    from datetime import datetime
+
+    from trajectorycrafter_tpu.utils.quality import ms_ssim, psnr, _ssim_frame
+    from trajectorycrafter_tpu.utils.video import f01_to_u8, save_video
+
+    hs, ws = gen.shape[1:3]
+    tgt = np.stack([
+        cv2.resize(f, (ws, hs), interpolation=cv2.INTER_LINEAR)
+        for f in np.asarray(target_frames, np.float32)
+    ])
+    n = min(len(gen), len(tgt))
+    g_last = np.clip(gen[n - 1], 0.0, 1.0)
+    t_last = np.clip(tgt[n - 1], 0.0, 1.0)
+
+    lum = np.array([0.299, 0.587, 0.114])
+    psnr_v = psnr(g_last, t_last, peak=1.0)
+    ssim_v = _ssim_frame(g_last @ lum, t_last @ lum, peak=1.0)
+    msssim_v = ms_ssim(g_last, t_last, peak=1.0)
+
+    metrics = {
+        "sequence_name": seq_name,
+        "evaluation_timestamp": datetime.now().isoformat(),
+        "metrics": {
+            "PSNR": float(min(psnr_v, 99.0)),
+            "SSIM": float(ssim_v),
+            "MS_SSIM": float(msssim_v),
+        },
+        "perceptual_metric": "MS-SSIM (offline stand-in for the reference's "
+                             "LPIPS; AlexNet weights unreachable)",
+        "frame_info": {
+            "frame_shape": list(g_last.shape),
+            "value_range": [0.0, 1.0],
+            "compared_frames": "last_frame_generated_vs_target",
+        },
+    }
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    with open(os.path.join(save_dir, "metrics_summary.txt"), "w") as f:
+        f.write(f"Evaluation Metrics for {seq_name}\n" + "=" * 50 + "\n")
+        f.write(f"PSNR:    {psnr_v:.4f} dB\n")
+        f.write(f"SSIM:    {ssim_v:.4f}\n")
+        f.write(f"MS-SSIM: {msssim_v:.4f}\n")
+
+    # last-frame pngs + side-by-side (reference :126-156)
+    g_u8, t_u8 = f01_to_u8(g_last), f01_to_u8(t_last)
+    cv2.imwrite(os.path.join(save_dir, f"last_frame_generated_{seq_name}.png"),
+                cv2.cvtColor(g_u8, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(os.path.join(save_dir, f"last_frame_target_{seq_name}.png"),
+                cv2.cvtColor(t_u8, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(
+        os.path.join(save_dir, f"last_frame_comparison_{seq_name}.png"),
+        cv2.cvtColor(np.concatenate([g_u8, t_u8], axis=1), cv2.COLOR_RGB2BGR))
+
+    # target-GT + side-by-side videos (reference :723-773)
+    save_video(tgt[:n], os.path.join(save_dir, f"target_gt_{seq_name}.mp4"),
+               fps=fps)
+    save_video(np.concatenate([np.clip(gen[:n], 0, 1), tgt[:n]], axis=2),
+               os.path.join(save_dir,
+                            f"comparison_gen_vs_target_{seq_name}.mp4"),
+               fps=fps)
+    return metrics

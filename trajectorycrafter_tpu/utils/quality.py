@@ -57,6 +57,53 @@ def _ssim_frame(a: np.ndarray, b: np.ndarray, peak: float) -> float:
     return float(s.mean())
 
 
+def ms_ssim(a: np.ndarray, b: np.ndarray, peak: float = 255.0,
+            levels: int = 5) -> float:
+    """Multi-scale SSIM between two (H, W) or (H, W, 3) frames.
+
+    Offline-computable perceptual stand-in for the reference's LPIPS score
+    (run_w_cam_poses_mvtracker_smooth.py:64-84 -- AlexNet LPIPS weights are
+    unreachable with zero egress): Wang et al. 2003 MS-SSIM with the standard
+    per-level exponents, 2x average-pool downsampling between levels.  Levels
+    whose downsampled frame falls below the 8x8 SSIM window are dropped (with
+    their exponents renormalised) so small eval crops still score.
+    """
+    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3 and a.shape[-1] == 3:
+        lum = np.array([0.299, 0.587, 0.114])
+        a, b = a @ lum, b @ lum
+    c2 = (0.03 * peak) ** 2
+    vals, used = [], []
+    for lvl in range(levels):
+        if min(a.shape) < 16:  # SSIM window no longer fits
+            break
+        if lvl == levels - 1:
+            vals.append(_ssim_frame(a, b, peak))  # full SSIM at last scale
+        else:
+            # contrast*structure term only: (2*cov + c2) / (va + vb + c2)
+            h, w = a.shape
+            bh, bw = h // 8, w // 8
+            aa = a[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8)
+            bb = b[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8)
+            aa = aa.transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+            bb = bb.transpose(0, 2, 1, 3).reshape(bh * bw, 64)
+            va, vb = aa.var(1), bb.var(1)
+            cov = ((aa - aa.mean(1, keepdims=True))
+                   * (bb - bb.mean(1, keepdims=True))).mean(1)
+            vals.append(float(np.mean((2 * cov + c2) / (va + vb + c2))))
+        used.append(weights[lvl])
+        h2, w2 = (a.shape[0] // 2) * 2, (a.shape[1] // 2) * 2
+        a = a[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+        b = b[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+    if not vals:
+        raise ValueError("frame too small for MS-SSIM (needs >= 16x16)")
+    used = np.asarray(used) / np.sum(used)
+    # negative contrast*structure terms (anticorrelated noise) clamp to 0
+    return float(np.prod(np.maximum(vals, 0.0) ** used))
+
+
 def video_quality(a: np.ndarray, b: np.ndarray,
                   peak: float = 255.0) -> Dict[str, float]:
     """PSNR + SSIM between two (F, H, W, C) videos (uint8 or [0, peak]).
@@ -98,7 +145,12 @@ def gate_metrics(m: Dict[str, float], psnr_pass_db: float) -> Dict[str, float]:
                      and m["psnr_min_frame_db"] >= psnr_pass_db)
     m["psnr_pass_db"] = float(psnr_pass_db)
     for k in ("psnr_db", "psnr_min_frame_db"):
-        if not np.isfinite(m[k]):
+        # cap only +inf (identical videos) at 99.0 so the JSON stays strict-
+        # parseable; NaN (a failing metric) maps to 0.0 so the artifact never
+        # shows a passing-looking score next to pass=false
+        if np.isnan(m[k]):
+            m[k] = 0.0
+        elif np.isinf(m[k]):
             m[k] = 99.0
     return m
 
