@@ -556,6 +556,14 @@ def main():
                     json.load(f)["value"])
         except Exception:
             pass
+        # measured 2-segment autoregressive run (bench_e2e.py --autoregressive)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_autoregressive.json")) as f:
+                result["autoregressive_2seg_s"] = float(
+                    json.load(f)["autoregressive_2seg_s"])
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

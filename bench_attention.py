@@ -158,8 +158,32 @@ def main():
             print(f"# dispatch_flash_pv8: failed ({str(e)[:120]})",
                   file=sys.stderr)
 
+    # depth-UNet production shape (round-5 item: the SVD UNet has no QK-norm
+    # so it cannot use the fixed-bias exp2 kernel; A/B the stock running-max
+    # kernel against the two-pass TRUE-max exp2 kernel at the UNet's largest
+    # spatial-attention call -- 49 frames x 5 heads x 9216 tokens (72x128
+    # latent grid at 576x1024) x 64, which divides the 1024 block exactly)
+    if not small:
+        from trajectorycrafter_tpu.ops.attention import _flash_maxpass
+
+        qd, kd, vd, _ = make_qkv(49, 5, 9216, 64, seed=2)
+        for name, fn in (
+            ("depth_flash_stock",
+             lambda q, k, v: _flash_attention(q, k, v, scale)),
+            ("depth_flash_max",
+             lambda q, k, v: _flash_maxpass(q, k, v, scale)),
+        ):
+            try:
+                results[name] = time_chained(fn, qd, kd, vd)
+                print(f"# {name}: {results[name]*1e3:.1f} ms", file=sys.stderr)
+            except Exception as e:
+                print(f"# {name}: failed ({str(e)[:120]})", file=sys.stderr)
+        del qd, kd, vd
+
     base = results.get("flash_stock", results.get("xla"))
-    best = min(results.values())
+    # headline value covers the DiT shape only; depth_* entries are a
+    # different shape and are reported as their own fields
+    best = min(t for n, t in results.items() if not n.startswith("depth_"))
     print(json.dumps({
         "metric": "attention_layer_call_ms",
         "value": round(best * 1e3, 1),

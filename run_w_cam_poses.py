@@ -2,6 +2,12 @@
 
 Re-renders a source camera's video from a target camera using dataset
 calibration (Panoptic Studio json layout by default).
+
+``--smooth`` switches to the SLERP camera-fly variant (reference
+run_w_cam_poses_mvtracker_smooth.py): the per-frame target camera
+interpolates from the source to the target camera over the clip, and with
+``--target_video`` the last generated frame is scored against the held-out
+target view (PSNR/SSIM/MS-SSIM -> metrics.json).
 """
 
 from __future__ import annotations
@@ -31,6 +37,12 @@ def main(argv=None):
     parser.add_argument("--depth_npy", type=str, default=None,
                         help="optional (F, H, W) metric depth .npy; "
                              "estimated otherwise")
+    parser.add_argument("--smooth", action="store_true",
+                        help="SLERP-interpolate the target camera from "
+                             "source to target over the clip")
+    parser.add_argument("--target_video", type=str, default=None,
+                        help="held-out target-view video for the smooth "
+                             "variant's PSNR/SSIM/MS-SSIM eval")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     os.makedirs(cfg.save_dir, exist_ok=True)
@@ -57,7 +69,19 @@ def main(argv=None):
     depths = np.load(args.depth_npy) if args.depth_npy else None
 
     tc = CameraPoseTrajCrafter(cfg)
-    tc.infer_camera_poses(frames, depths, src, tgt)
+    if args.smooth:
+        target_frames = None
+        if args.target_video:
+            target_frames = read_video_frames(
+                args.target_video, cfg.video_length, cfg.stride,
+                cfg.depth.max_res, width=None, height=None)
+            target_frames = pad_to_length(target_frames, cfg.video_length)
+        _, metrics = tc.infer_camera_poses_smooth(
+            frames, depths, src, tgt, target_frames=target_frames)
+        if metrics is not None:
+            print(json.dumps(metrics["metrics"]))
+    else:
+        tc.infer_camera_poses(frames, depths, src, tgt)
     print(f"outputs written to {cfg.save_dir}")
 
 

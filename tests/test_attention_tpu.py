@@ -56,6 +56,41 @@ def test_flash_exp2_cross_attention_shape():
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-2)
 
 
+def test_flash_max_matches_xla():
+    """Two-pass true-max kernel on chip vs the XLA einsum, soft-softmax
+    regime (amplitude 1, the same tolerance envelope as the exp2 kernel)."""
+    from trajectorycrafter_tpu.ops.attention import _flash_maxpass, _xla_attention
+
+    q, k, v = _qkv(1, 4, 3000, 64, seed=7)
+    scale = 64**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale), np.float32)
+    got = np.asarray(jax.jit(lambda q, k, v: _flash_maxpass(q, k, v, scale))(
+        q, k, v), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-2)
+
+
+def test_flash_max_unbounded_scores_stay_finite():
+    """Amplitude-4 scores (span ~±130: overflows a fixed-bias exp(s) without
+    the true max) -- the kernel must stay finite and close to the einsum.
+    Tolerance is wide: in the sharp-softmax regime bf16 rounding of the
+    pre-scaled q amplifies near-tie mixing weights identically in principle
+    but not bit-identically across the two implementations (measured max
+    |err| ~0.07 at amplitude 3 on chip); exactness in exact arithmetic is
+    asserted in fp32 interpret mode (tests/test_flash_max.py, atol 2e-5)."""
+    from trajectorycrafter_tpu.ops.attention import _flash_maxpass, _xla_attention
+
+    rng = np.random.default_rng(8)
+    b, h, s, d = 1, 4, 3000, 64
+    mk = lambda a: jnp.asarray(rng.standard_normal((b, h, s, d)) * a, jnp.bfloat16)
+    q, k, v = mk(4), mk(4), mk(1)
+    scale = 64**-0.5
+    want = np.asarray(_xla_attention(q, k, v, scale), np.float32)
+    got = np.asarray(jax.jit(lambda q, k, v: _flash_maxpass(q, k, v, scale))(
+        q, k, v), np.float32)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=5e-2)
+
+
 def test_stock_flash_matches_xla():
     """The stock jax flash kernel path (impl="flash_stock") stays correct."""
     from trajectorycrafter_tpu.ops.attention import _flash_attention, _xla_attention

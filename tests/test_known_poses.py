@@ -301,6 +301,57 @@ def test_infer_smooth_end_to_end_with_eval(tmp_path):
         assert os.path.getsize(os.path.join(cfg.save_dir, artifact)) > 0
 
 
+@pytest.mark.slow
+def test_run_w_cam_poses_smooth_cli(tmp_path, monkeypatch):
+    """Root entry `run_w_cam_poses.py --smooth --target_video ...` end-to-end
+    with dev stubs: parses calib json, undistorts, interpolates, evaluates."""
+    import json
+
+    from trajectorycrafter_tpu.utils.video import save_video
+
+    import run_w_cam_poses as rwcp
+
+    rng = np.random.default_rng(13)
+    T, H, W = 9, 48, 80
+    src_path = str(tmp_path / "src.mp4")
+    tgt_path = str(tmp_path / "tgt.mp4")
+    save_video(rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32), src_path)
+    save_video(rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32), tgt_path)
+    calib = {"cameras": [
+        {"name": "a", "K": [[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+         "R": np.eye(3).tolist(), "t": [[0.0], [0.0], [0.0]]},
+        {"name": "b", "K": [[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+         "R": np.eye(3).tolist(), "t": [[30.0], [0.0], [5.0]]},  # cm
+    ]}
+    calib_path = str(tmp_path / "calib.json")
+    with open(calib_path, "w") as f:
+        json.dump(calib, f)
+    depth_path = str(tmp_path / "depth.npy")
+    np.save(depth_path, np.full((T, H, W), 3.0, np.float32))
+
+    orig = rwcp.config_from_args
+
+    def patched(args):
+        cfg = orig(args)
+        cfg.warp_size = (H, W)
+        return cfg
+
+    monkeypatch.setattr(rwcp, "config_from_args", patched)
+    out_dir = str(tmp_path / "out")
+    rwcp.main([
+        "--video_path", src_path, "--video_length", str(T),
+        "--sample_size", "32", "48", "--diffusion_inference_steps", "2",
+        "--prompt", "a scene", "--allow_dev_stubs",
+        "--out_dir", out_dir, "--exp_name", "t",
+        "--calib_json", calib_path, "--source_cam", "a", "--target_cam", "b",
+        "--depth_npy", depth_path, "--smooth", "--target_video", tgt_path,
+    ])
+    found = []
+    for root, _, files in os.walk(out_dir):
+        found += files
+    assert "metrics.json" in found and "gen.mp4" in found
+
+
 def test_smooth_warp_uses_interpolated_cameras(tmp_path):
     """The per-frame target extrinsics/intrinsics must actually move: frame 0
     warps to the (fixed) source view, the last frame to the target view."""

@@ -190,15 +190,23 @@ class CrossAttention(nn.Module):
         # depth resolution (576x1024 -> 9216 spatial tokens x 49 frames) a
         # materialised score tensor is ~83 GB fp32, so long self-attention
         # must take a tiled flash path (the reference leans on xformers for
-        # the same reason, models/infer.py:46).  The STOCK running-max
-        # kernel, not the exp2 one: the exp2 kernel's fixed-bias softmax is
-        # only exact for bounded (QK-normed) scores, and this UNet has no
-        # QK-norm.  Tiny/cross shapes stay on the XLA einsum.
+        # the same reason, models/infer.py:46).  NOT the DiT's fixed-bias
+        # exp2 kernel -- that one is only exact for bounded (QK-normed)
+        # scores and this UNet has no QK-norm; instead the two-pass TRUE-max
+        # exp2 kernel (ops/pallas/flash_max.py), which keeps the MXU-offload
+        # structure and is exact for unbounded scores.  The stock
+        # running-max kernel remains selectable for A/B measurement
+        # (TRAJCRAFTER_DEPTH_ATTN=flash_stock, read at trace time;
+        # bench_stages.py measures both).  Tiny/cross shapes stay on the
+        # XLA einsum.
+        import os
+
         from trajectorycrafter_tpu.ops.attention import multi_head_attention
 
         s_kv = k.shape[1]
         on_tpu = jax.devices()[0].platform != "cpu"
-        impl = "flash_stock" if (on_tpu and s * s_kv >= 1024 * 1024) else "xla"
+        flash = os.environ.get("TRAJCRAFTER_DEPTH_ATTN", "flash_max")
+        impl = flash if (on_tpu and s * s_kv >= 1024 * 1024) else "xla"
         out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
                                    impl=impl)
         return _dense_cls(self.quant)(

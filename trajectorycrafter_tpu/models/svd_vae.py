@@ -175,16 +175,21 @@ def _pad_frames(x: jnp.ndarray, chunk: int) -> tuple[jnp.ndarray, int]:
 
 
 def _frame_sharded(x: jnp.ndarray) -> jnp.ndarray:
-    """Constrain (B, F, ...) to frames-on-(dp, sp) under the ambient mesh.
+    """Constrain (B, F, H, ...) to frames-on-dp, rows-on-sp under the mesh.
 
-    The SVD encoder is strictly per-frame, so this is pure data parallelism;
-    the temporal decoder's (3,1,1) convs and within-chunk frame mixing become
-    GSPMD halo exchanges / collectives.  GSPMD handles frame counts that
-    don't divide the axis (internal padding), so no pad-and-mask is needed.
+    The SVD encoder is strictly per-frame, so the frame axis is pure data
+    parallelism; the row axis becomes GSPMD conv halo exchanges.  This is
+    deliberately the SAME spec the depth denoise stage uses for its latents
+    (pipelines/depth.py _denoise_window_jit: frames on dp, rows on sp), so
+    the denoise->decode handoff needs NO resharding -- frames-on-(dp, sp)
+    here used to force an SPMD "involuntary full rematerialization" of the
+    latents between the two stages (MULTICHIP_r04 tail).  GSPMD handles
+    frame counts that don't divide the axis (internal padding), so no
+    pad-and-mask is needed.
     """
     from trajectorycrafter_tpu.parallel.sharding import constrain
 
-    return constrain(x, None, ("dp", "sp"), *([None] * (x.ndim - 2)))
+    return constrain(x, None, "dp", "sp", *([None] * (x.ndim - 3)))
 
 
 @partial(jax.jit, static_argnames=("vae", "shard"))

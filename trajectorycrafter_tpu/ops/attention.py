@@ -99,6 +99,28 @@ def _flash_exp2_t(q, k, v, scale):
     return jnp.swapaxes(out_t, 2, 3)[:, :, :s_orig]
 
 
+def _flash_maxpass(q, k, v, scale):
+    """Two-pass true-max exp2 kernel (ops/pallas/flash_max.py): exact for
+    UNBOUNDED scores (no QK-norm), so it is the fast candidate for the
+    DepthCrafter SVD UNet's big self-attention.  Same padding contract as
+    _flash_exp2_t; padded keys are masked inside both passes."""
+    from trajectorycrafter_tpu.ops.pallas.flash_max import (
+        flash_attention_maxpass,
+    )
+
+    b, h, s, d = q.shape
+    block_q, block_k = (2048, 1024) if s >= 2048 else (512, 512)
+    qp, s_orig = _pad_to(q, block_q, axis=2)
+    kp, skv_orig = _pad_to(k, block_k, axis=2)
+    vp, _ = _pad_to(v, block_k, axis=2)
+    sp, skv_p = qp.shape[2], kp.shape[2]
+    out_t = flash_attention_maxpass(
+        qp, kp, vp, kv_pad=skv_p - skv_orig, sm_scale=scale,
+        block_q=min(block_q, sp), block_k=min(block_k, skv_p),
+    )  # (B, H, D, Sp)
+    return jnp.swapaxes(out_t, 2, 3)[:, :, :s_orig]
+
+
 def _flash_exp2_t_pv8(q, k, v, scale):
     """PV-int8 variant of the production kernel: QK^T bf16, probability x
     value on the int8 MXU (ops/pallas/flash_pv8.py).  Same padding contract
@@ -139,6 +161,8 @@ def multi_head_attention(
         out = _flash_exp2_t(qt, kt, vt, scale)
     elif impl == "flash_pv8":
         out = _flash_exp2_t_pv8(qt, kt, vt, scale)
+    elif impl == "flash_max":
+        out = _flash_maxpass(qt, kt, vt, scale)
     elif impl == "flash_stock":
         out = _flash_attention(qt, kt, vt, scale)
     elif impl == "ring":

@@ -77,10 +77,13 @@ def ring_attention(
 
     # Custom inners (e.g. the pallas flash-lse wrapper) may not take a
     # key_mask kwarg; detect once so the pad path works for any inner.
+    # Only an EXPLICIT key_mask parameter counts: a **kwargs inner that
+    # accepted-but-ignored the mask would silently skip both the mask and
+    # the analytic correction (advisor r4) -- such inners take the
+    # maskless-correction path instead.
     import inspect
     _params = inspect.signature(inner).parameters
-    inner_takes_mask = ("key_mask" in _params or any(
-        p.kind is inspect.Parameter.VAR_KEYWORD for p in _params.values()))
+    inner_takes_mask = "key_mask" in _params
 
     s_true = q.shape[2]
     pad = (-s_true) % n
@@ -112,7 +115,13 @@ def ring_attention(
                     n_pad_here = jnp.sum(
                         jnp.logical_not(key_mask)).astype(jnp.float32)
                     keep = 1.0 - n_pad_here * jnp.exp(-lse_i)
-                    empty = keep <= 1e-12  # fully-padded visiting shard
+                    # Precision bound (advisor r4): computed in fp32, keep
+                    # below ~1e-6 is dominated by cancellation noise (the
+                    # real-key softmax mass is ~ulp of the pad mass), so such
+                    # shards are treated as empty -- their true contribution
+                    # to the combined softmax is negligible by the same
+                    # ratio.  Mask-capable inners avoid this path entirely.
+                    empty = keep <= 1e-6
                     keep_safe = jnp.maximum(keep, 1e-30)
                     lse_i = jnp.where(empty, -1e30,
                                       lse_i + jnp.log(keep_safe))

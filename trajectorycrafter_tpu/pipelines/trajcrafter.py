@@ -280,9 +280,35 @@ class TrajCrafterPipeline:
 
             if output_type == "latent":
                 return latents
-            frames = _decode_jit(self.vae, resolve(self.vae_params), latents,
-                                 self.vae.scaling_factor, mesh=self.mesh)
-            frames.block_until_ready()
+            try:
+                frames = _decode_jit(self.vae, resolve(self.vae_params),
+                                     latents, self.vae.scaling_factor,
+                                     mesh=self.mesh)
+                frames.block_until_ready()
+            except Exception as e:  # pragma: no cover - chip-memory path
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # HBM still holds stale buffers at the stage boundary
+                # (observed once on chip: the post-denoise decode OOM'd on a
+                # 3 MB astype even after release() -- jit/runtime caches can
+                # pin the previous stage's buffers).  Drop every cache, log
+                # the residency so the artifact explains itself, and retry.
+                import gc
+                import sys as _sys
+
+                stats = (jax.devices()[0].memory_stats() or {}) if hasattr(
+                    jax.devices()[0], "memory_stats") else {}
+                print(f"# decode RESOURCE_EXHAUSTED; bytes_in_use="
+                      f"{stats.get('bytes_in_use')}; clearing caches and "
+                      "retrying", file=_sys.stderr)
+                latents_host = np.asarray(latents)
+                release(self.vae_params)
+                gc.collect()
+                jax.clear_caches()
+                frames = _decode_jit(self.vae, resolve(self.vae_params),
+                                     jnp.asarray(latents_host),
+                                     self.vae.scaling_factor, mesh=self.mesh)
+                frames.block_until_ready()
             release(self.vae_params)
         return frames
 
