@@ -3,6 +3,11 @@ from trajectorycrafter_tpu.geometry.cameras import (
     intrinsics_matrix,
     sphere2pose,
 )
+from trajectorycrafter_tpu.geometry.interpolate import (
+    interpolate_intrinsics,
+    interpolate_poses,
+    slerp,
+)
 from trajectorycrafter_tpu.geometry.trajectory import (
     generate_traj_specified,
     generate_traj_txt,

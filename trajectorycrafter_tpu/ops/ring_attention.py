@@ -95,6 +95,13 @@ def ring_attention(
     def local(q_l, k_l, v_l):
         def step(carry, t):
             o_acc, lse_acc, k_cur, v_cur = carry
+            # issue the next-hop transfer BEFORE the local attention compute:
+            # the permuted kv isn't consumed until the next scan iteration,
+            # so XLA's async collective-permute can ride under this
+            # iteration's inner() compute instead of serialising after it
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
             if pad:
                 # after t rotations device i holds kv shard (i - t) mod n;
                 # mask that shard's positions beyond the true length
@@ -130,9 +137,6 @@ def ring_attention(
             else:
                 o_i, lse_i = inner(q_l, k_cur, v_cur, scale)
             o_acc, lse_acc = _combine(o_acc, lse_acc, o_i, lse_i)
-            perm = [(i, (i + 1) % n) for i in range(n)]
-            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
             return (o_acc, lse_acc, k_nxt, v_nxt), None
 
         # the carry must be marked "varying" over the ring axis for scan

@@ -42,6 +42,7 @@ from trajectorycrafter_tpu.models.vae import (
     sample_posterior,
     vae_decode,
     vae_decode_auto,
+    vae_decode_tiled,
     vae_encode,
 )
 from trajectorycrafter_tpu.ops.resize import resize_linear, resize_mask_latent
@@ -240,6 +241,15 @@ class TrajCrafterPipeline:
                 state.timesteps[t_start],
             )
 
+        # The raw conditioning videos are consumed: drop the references so
+        # their device buffers free before the denoise/decode stages.  At
+        # production scale these are ~2.2 GB of fp32 ((1,49,384,672,3) video
+        # + mask + reference) that __call__ would otherwise pin for its whole
+        # body -- observed on chip as a decode RESOURCE_EXHAUSTED right after
+        # the DiT release (the one-shot 49-frame decode wants nearly all of
+        # HBM, and passes standalone on an empty chip).
+        video = mask_video = reference = None
+
         rope = None
         if self.transformer.use_rotary_positional_embeddings:
             cos, sin = rope_for_sample(
@@ -299,15 +309,23 @@ class TrajCrafterPipeline:
                 stats = (jax.devices()[0].memory_stats() or {}) if hasattr(
                     jax.devices()[0], "memory_stats") else {}
                 print(f"# decode RESOURCE_EXHAUSTED; bytes_in_use="
-                      f"{stats.get('bytes_in_use')}; clearing caches and "
-                      "retrying", file=_sys.stderr)
+                      f"{stats.get('bytes_in_use')}; retrying with "
+                      "small-strip tiled decode", file=_sys.stderr)
                 latents_host = np.asarray(latents)
                 release(self.vae_params)
                 gc.collect()
                 jax.clear_caches()
-                frames = _decode_jit(self.vae, resolve(self.vae_params),
-                                     jnp.asarray(latents_host),
-                                     self.vae.scaling_factor, mesh=self.mesh)
+                # narrow strips cut the decoder's peak activations ~4x vs
+                # the one-shot program (reference tiled_decode analog)
+                z = (jnp.asarray(latents_host).astype(jnp.float32)
+                     / self.vae.scaling_factor).astype(self.vae.dtype)
+                frames = vae_decode_tiled(
+                    self.vae, resolve(self.vae_params), z,
+                    tile_latent_height=max(8, z.shape[2] // 4),
+                    tile_latent_width=z.shape[3],
+                    overlap_factor_h=1.0 / 7.0, overlap_factor_w=0.0,
+                ).astype(jnp.float32)
+                frames = jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
                 frames.block_until_ready()
             release(self.vae_params)
         return frames
