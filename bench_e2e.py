@@ -156,7 +156,11 @@ def synth_input_video(path: str, f=49, h=576, w=1024, fps=10):
     return path
 
 
-def make_cfg(small: bool, quant=None, save_dir="/tmp/bench_e2e_out"):
+def make_cfg(small: bool, quant=None, save_dir=None):
+    if save_dir is None:
+        # separate dirs so a CPU --small smoke can't overwrite (and mask)
+        # the artifacts of a concurrently-running full-scale chip run
+        save_dir = "/tmp/bench_e2e_out_small" if small else "/tmp/bench_e2e_out"
     from trajectorycrafter_tpu.config import TrajCrafterConfig
 
     cfg = TrajCrafterConfig()
