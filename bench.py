@@ -564,6 +564,19 @@ def main():
                     json.load(f)["autoregressive_2seg_s"])
         except Exception:
             pass
+        # same-seed bf16-vs-int8 quality gate (bench_e2e.py --ab): the
+        # decision artifact behind the int8-by-default question
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "bench_int8_ab.json")) as f:
+                ab = json.load(f)
+            result["int8_ab"] = {
+                k: ab[k] for k in ("psnr_db", "psnr_min_frame_db", "ssim",
+                                   "ssim_min_frame", "pass", "psnr_pass_db",
+                                   "weights") if k in ab
+            }
+        except Exception:
+            pass
     print(json.dumps(result))
 
 
