@@ -290,43 +290,66 @@ class TrajCrafterPipeline:
 
             if output_type == "latent":
                 return latents
+            # Snapshot the (few-MB) final latents on the host BEFORE the
+            # decode attempt: after a decode RESOURCE_EXHAUSTED the backend
+            # can stay in an exhausted state where even this small
+            # device->host fetch fails (observed on chip 2026-08-20 through
+            # the axon relay), which would strand the whole denoise result.
+            # The sync round trip also drains the relay's async deletes from
+            # the DiT release above before the decoder allocates.
+            latents_host = np.asarray(latents)
+            latents = None
             try:
                 frames = _decode_jit(self.vae, resolve(self.vae_params),
-                                     latents, self.vae.scaling_factor,
-                                     mesh=self.mesh)
+                                     jnp.asarray(latents_host),
+                                     self.vae.scaling_factor, mesh=self.mesh)
                 frames.block_until_ready()
             except Exception as e:  # pragma: no cover - chip-memory path
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 # HBM still holds stale buffers at the stage boundary
-                # (observed once on chip: the post-denoise decode OOM'd on a
-                # 3 MB astype even after release() -- jit/runtime caches can
-                # pin the previous stage's buffers).  Drop every cache, log
-                # the residency so the artifact explains itself, and retry.
+                # (observed on chip: the post-denoise decode OOM'd even after
+                # release() -- jit/runtime caches can pin the previous
+                # stage's buffers).  Drop every cache, log the residency so
+                # the artifact explains itself, and retry tiled with backoff
+                # (the exhausted state can take a moment to drain).
                 import gc
                 import sys as _sys
+                import time as _time
 
                 stats = (jax.devices()[0].memory_stats() or {}) if hasattr(
                     jax.devices()[0], "memory_stats") else {}
                 print(f"# decode RESOURCE_EXHAUSTED; bytes_in_use="
                       f"{stats.get('bytes_in_use')}; retrying with "
                       "small-strip tiled decode", file=_sys.stderr)
-                latents_host = np.asarray(latents)
                 release(self.vae_params)
                 gc.collect()
                 jax.clear_caches()
                 # narrow strips cut the decoder's peak activations ~4x vs
                 # the one-shot program (reference tiled_decode analog)
-                z = (jnp.asarray(latents_host).astype(jnp.float32)
-                     / self.vae.scaling_factor).astype(self.vae.dtype)
-                frames = vae_decode_tiled(
-                    self.vae, resolve(self.vae_params), z,
-                    tile_latent_height=max(8, z.shape[2] // 4),
-                    tile_latent_width=z.shape[3],
-                    overlap_factor_h=1.0 / 7.0, overlap_factor_w=0.0,
-                ).astype(jnp.float32)
-                frames = jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
-                frames.block_until_ready()
+                for attempt in range(3):
+                    try:
+                        z = (jnp.asarray(latents_host).astype(jnp.float32)
+                             / self.vae.scaling_factor).astype(self.vae.dtype)
+                        frames = vae_decode_tiled(
+                            self.vae, resolve(self.vae_params), z,
+                            tile_latent_height=max(8, z.shape[2] // 4),
+                            tile_latent_width=z.shape[3],
+                            overlap_factor_h=1.0 / 7.0, overlap_factor_w=0.0,
+                        ).astype(jnp.float32)
+                        frames = jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
+                        frames.block_until_ready()
+                        break
+                    except Exception as e2:
+                        if ("RESOURCE_EXHAUSTED" not in str(e2)
+                                or attempt == 2):
+                            raise
+                        print(f"# tiled decode attempt {attempt + 1} still "
+                              "exhausted; backing off", file=_sys.stderr)
+                        release(self.vae_params)
+                        gc.collect()
+                        jax.clear_caches()
+                        _time.sleep(10.0 * (attempt + 1))
             release(self.vae_params)
         return frames
 
