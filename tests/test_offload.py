@@ -24,14 +24,19 @@ def _tree(rng):
 
 
 def test_stageparams_host_cache_and_release(rng):
-    sp = off.StageParams(_tree(rng), offload=True, name="m")
+    host = _tree(rng)
+    sp = off.StageParams(host, offload=True, name="m")
     d1 = sp.device()
     assert isinstance(d1["dense"]["kernel"], jax.Array)
     assert sp.device() is d1  # cached until release
     sp.release()
+    # release DELETES the device buffers synchronously (refcount-GC deletes
+    # can lag the next stage's allocations through a remote-backend relay);
+    # stale references to the released tree are invalid by contract
+    assert d1["dense"]["kernel"].is_deleted()
     d2 = sp.device()
     assert d2 is not d1  # re-placed after release
-    np.testing.assert_array_equal(np.asarray(d1["dense"]["kernel"]),
+    np.testing.assert_array_equal(np.asarray(host["dense"]["kernel"]),
                                   np.asarray(d2["dense"]["kernel"]))
 
 

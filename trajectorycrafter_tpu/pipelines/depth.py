@@ -117,8 +117,13 @@ class DepthCrafterPipeline:
         x = resize_linear(jnp.moveaxis(frames, -1, 1), (size, size))
         x = jnp.moveaxis(x, 1, -1)
         x = (x - jnp.asarray(CLIP_IMAGE_MEAN)) / jnp.asarray(CLIP_IMAGE_STD)
-        emb = self.image_encoder.apply(
-            {"params": resolve(self.image_encoder_params)}, x)
+        # One jit program (NOT eager): an eager ViT-H forward over 49 frames
+        # dispatches op-by-op, and the async stream keeps several layers'
+        # ~830 MB attention-score tensors live at once -- observed on chip
+        # as a nondeterministic RESOURCE_EXHAUSTED mid-encoder.  Under jit,
+        # XLA schedules the layers sequentially and reuses the temp buffers.
+        emb = _clip_embed_jit(self.image_encoder,
+                              resolve(self.image_encoder_params), x)
         emb.block_until_ready()
         release(self.image_encoder_params)
         return emb[:, None, :]
@@ -220,6 +225,11 @@ class DepthCrafterPipeline:
         dec = jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
         release(self.vae_params)
         return np.asarray(jnp.mean(dec, axis=-1))  # (F, H, W)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _clip_embed_jit(model, params, x):
+    return model.apply({"params": params}, x)
 
 
 def chain_blend(latents_all: jnp.ndarray, win_lat: jnp.ndarray, s: int,

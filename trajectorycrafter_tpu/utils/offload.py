@@ -60,8 +60,20 @@ class StageParams:
         return self._device
 
     def release(self) -> None:
-        """Drop the device copy (no-op unless ``offload``)."""
-        if self.offload:
+        """Drop the device copy (no-op unless ``offload``).
+
+        Deletes every leaf buffer EXPLICITLY instead of relying on refcount
+        GC: through a remote-backend relay the GC-triggered async deletes
+        can lag the next stage's allocations (observed on chip as
+        RESOURCE_EXHAUSTED at stage boundaries with only ~12 GB of live
+        params), while ``Array.delete()`` issues the deletion synchronously.
+        """
+        if self.offload and self._device is not None:
+            for leaf in jax.tree_util.tree_leaves(self._device):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass  # non-jax leaves / already-deleted buffers
             self._device = None
 
     def nbytes(self) -> int:
