@@ -208,3 +208,31 @@ def test_chain_blend_matches_depthcrafter_scheme():
     # ov=0 (first window): pure overwrite
     out0 = np.asarray(chain_blend(old, new, s=0, ov=0))
     np.testing.assert_allclose(out0[:6], 3.0)
+
+
+def test_encode_image_embeddings_jit_and_release(rng):
+    """The CLIP embed path runs as ONE jit program and releases its stage
+    params (eager ViT dispatch OOM'd the chip at full scale, round 5)."""
+    from trajectorycrafter_tpu.utils.offload import StageParams
+
+    cfg = CLIPVisionConfig(
+        hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        projection_dim=12)
+    clip = CLIPVisionModelWithProjection(cfg)
+    cp = jax.jit(clip.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    sp = StageParams(jax.tree.map(np.asarray, cp), offload=True, name="clip")
+    pipe = DepthCrafterPipeline(
+        unet=UNetSpatioTemporalConditionModel(
+            block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+            num_attention_heads=(2, 2, 2, 2), cross_attention_dim=12,
+            norm_num_groups=4),
+        unet_params=None, vae=None, vae_params=None,
+        image_encoder=clip, image_encoder_params=sp)
+    frames = jnp.asarray(rng.uniform(0, 1, (5, 24, 40, 3)), jnp.float32)
+    emb = pipe.encode_image_embeddings(frames)
+    assert emb.shape == (5, 1, 12)
+    assert np.all(np.isfinite(np.asarray(emb)))
+    # stage offload contract: the CLIP device tree is gone after the embed
+    assert sp._device is None
