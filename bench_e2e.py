@@ -99,6 +99,12 @@ def build_full_scale_bundle(cfg, dtype=jnp.bfloat16):
     t5 = T5EncoderModel(t5_xxl_config(), dtype=dtype, param_dtype=dtype)
     t5_sp = staged_synth(t5, (jnp.zeros((1, 226), jnp.int32),), dtype, "t5", 2)
 
+    @jax.jit
+    def _t5_fwd(p, ids):
+        # one jit program, not an eager 24-block dispatch storm (same
+        # hazard class as the CLIP eager forward fixed in pipelines/depth)
+        return t5.apply({"params": p}, ids)
+
     def encode_prompt(prompt, negative):
         def ids_of(text):
             # synthetic-tokenizer stand-in: deterministic ids from the text
@@ -106,8 +112,8 @@ def build_full_scale_bundle(cfg, dtype=jnp.bfloat16):
             return jnp.full((1, 226), 1 + h % 1000, jnp.int32)
 
         p = resolve(t5_sp)
-        pe = t5.apply({"params": p}, ids_of(prompt or ""))
-        ne = t5.apply({"params": p}, ids_of(negative or ""))
+        pe = _t5_fwd(p, ids_of(prompt or ""))
+        ne = _t5_fwd(p, ids_of(negative or ""))
         ne.block_until_ready()
         release(t5_sp)
         return pe.astype(jnp.float32), ne.astype(jnp.float32)
