@@ -167,3 +167,26 @@ def test_decode_auto_strips(tiny_vae, rng, monkeypatch):
     assert np.all(np.isfinite(strips))
     corr = np.corrcoef(strips.reshape(-1), full.reshape(-1))[0, 1]
     assert corr > 0.2, corr
+
+
+def test_vae_decode_auto_tiles_before_dispatch(monkeypatch):
+    """Full-scale shapes must choose the strip-tiled decoder UP FRONT (a
+    mid-run RESOURCE_EXHAUSTED poisons remote backends -- round 5); tiny
+    shapes stay one-shot; a sharded decode discounts by the mesh size."""
+    import trajectorycrafter_tpu.models.vae as V
+
+    calls = []
+    monkeypatch.setattr(V, "vae_decode", lambda *a, **k: calls.append("full"))
+    monkeypatch.setattr(V, "vae_decode_tiled",
+                        lambda *a, **k: calls.append("tiled"))
+    model = object.__new__(AutoencoderKLCogVideoX)  # shape-only use
+
+    V.vae_decode_auto(model, None, jnp.zeros((1, 13, 48, 84, 16)))
+    assert calls[-1] == "tiled"  # 49f@384x672 ~ 11 GB peak > 0.6 * 16 GB
+    V.vae_decode_auto(model, None, jnp.zeros((1, 13, 72, 128, 16)))
+    assert calls[-1] == "tiled"  # 49f@576x1024
+    V.vae_decode_auto(model, None, jnp.zeros((1, 3, 8, 12, 16)))
+    assert calls[-1] == "full"   # tiny dev shape
+    V.vae_decode_auto(model, None, jnp.zeros((1, 13, 48, 84, 16)),
+                      peak_divisor=8)
+    assert calls[-1] == "full"   # 8-chip slice: per-device peak ~1.4 GB

@@ -611,9 +611,12 @@ def vae_decode_tiled(
 # Largest latent frame the non-tiled decoder can hold on a 16 GB chip:
 # 48x84 (384x672 px) fits; 72x128 (576x1024) needs >16 GB of up-block
 # activations (measured OOM, bench_stages.py).  Above this, decode in
-# full-width strips: no horizontal seams, and only ~1.11x redundant rows
-# (vs 1.38x for the reference-default 30x45 tile grid at 72x128).
-_FULL_DECODE_MAX_CELLS = 5000
+# Peak-memory model of the one-shot decoder: the last up-block holds ~3
+# copies of the (T_px, H, W, 128) bf16 activation (input/output plus the
+# decomposed-conv3d shifted sum) plus caches and the fp32 output -- ~3.5x
+# that tensor.  At 49f@384x672 that is ~11 GB; at 49f@576x1024 ~25 GB.
+_DECODE_PEAK_FACTOR = 128 * 2 * 3.5
+_DECODE_HBM_FRACTION = 0.60
 
 
 def vae_decode_auto(
@@ -621,12 +624,27 @@ def vae_decode_auto(
     params,
     latents: jnp.ndarray,  # (B, T_lat, H/8, W/8, C)
     strip_height: int = 28,
+    peak_divisor: int = 1,
 ) -> jnp.ndarray:
-    """Decode, switching to spatially tiled strips when the frame is too
-    large for the one-shot decoder (the reference enables VAE tiling the
-    same way for large frames, demo.py:668-671 / autoencoder_magvit.py:1302)."""
-    h, w = latents.shape[2], latents.shape[3]
-    if h * w <= _FULL_DECODE_MAX_CELLS:
+    """Decode, switching to spatially tiled strips when the one-shot
+    decoder's estimated activation peak does not comfortably fit HBM (the
+    reference enables VAE tiling the same way for large frames,
+    demo.py:668-671 / autoencoder_magvit.py:1302).
+
+    The decision is made BEFORE dispatch on purpose: a jit execution that
+    RESOURCE_EXHAUSTs mid-run can leave a remote backend unable to serve
+    even tiny allocations (observed on chip 2026-08-21), so a
+    try-one-shot/fallback-tiled structure cannot recover.  ``peak_divisor``
+    discounts the estimate when GSPMD shards the decode spatially (mesh
+    size), where per-device activations shrink accordingly.
+    """
+    b, t_lat, h, w, _ = latents.shape
+    t_px = (t_lat - 1) * 4 + 1
+    est_peak = (b * t_px * (8 * h) * (8 * w) * _DECODE_PEAK_FACTOR
+                / max(1, peak_divisor))
+    from trajectorycrafter_tpu.utils.offload import device_hbm_bytes
+
+    if est_peak <= _DECODE_HBM_FRACTION * device_hbm_bytes():
         return vae_decode(model, params, latents)
     return vae_decode_tiled(
         model, params, latents,

@@ -42,7 +42,6 @@ from trajectorycrafter_tpu.models.vae import (
     sample_posterior,
     vae_decode,
     vae_decode_auto,
-    vae_decode_tiled,
     vae_encode,
 )
 from trajectorycrafter_tpu.ops.resize import resize_linear, resize_mask_latent
@@ -299,57 +298,16 @@ class TrajCrafterPipeline:
             # the DiT release above before the decoder allocates.
             latents_host = np.asarray(latents)
             latents = None
-            try:
-                frames = _decode_jit(self.vae, resolve(self.vae_params),
-                                     jnp.asarray(latents_host),
-                                     self.vae.scaling_factor, mesh=self.mesh)
-                frames.block_until_ready()
-            except Exception as e:  # pragma: no cover - chip-memory path
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-                # HBM still holds stale buffers at the stage boundary
-                # (observed on chip: the post-denoise decode OOM'd even after
-                # release() -- jit/runtime caches can pin the previous
-                # stage's buffers).  Drop every cache, log the residency so
-                # the artifact explains itself, and retry tiled with backoff
-                # (the exhausted state can take a moment to drain).
-                import gc
-                import sys as _sys
-                import time as _time
-
-                stats = (jax.devices()[0].memory_stats() or {}) if hasattr(
-                    jax.devices()[0], "memory_stats") else {}
-                print(f"# decode RESOURCE_EXHAUSTED; bytes_in_use="
-                      f"{stats.get('bytes_in_use')}; retrying with "
-                      "small-strip tiled decode", file=_sys.stderr)
-                release(self.vae_params)
-                gc.collect()
-                jax.clear_caches()
-                # narrow strips cut the decoder's peak activations ~4x vs
-                # the one-shot program (reference tiled_decode analog)
-                for attempt in range(3):
-                    try:
-                        z = (jnp.asarray(latents_host).astype(jnp.float32)
-                             / self.vae.scaling_factor).astype(self.vae.dtype)
-                        frames = vae_decode_tiled(
-                            self.vae, resolve(self.vae_params), z,
-                            tile_latent_height=max(8, z.shape[2] // 4),
-                            tile_latent_width=z.shape[3],
-                            overlap_factor_h=1.0 / 7.0, overlap_factor_w=0.0,
-                        ).astype(jnp.float32)
-                        frames = jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
-                        frames.block_until_ready()
-                        break
-                    except Exception as e2:
-                        if ("RESOURCE_EXHAUSTED" not in str(e2)
-                                or attempt == 2):
-                            raise
-                        print(f"# tiled decode attempt {attempt + 1} still "
-                              "exhausted; backing off", file=_sys.stderr)
-                        release(self.vae_params)
-                        gc.collect()
-                        jax.clear_caches()
-                        _time.sleep(10.0 * (attempt + 1))
+            # One-shot vs strip-tiled is decided INSIDE vae_decode_auto from
+            # an activation-peak estimate, BEFORE dispatch: a jit execution
+            # that RESOURCE_EXHAUSTs mid-run poisons this backend (measured
+            # on chip 2026-08-21: with 12 GB probed free and 1.7 GB of live
+            # arrays, the failed one-shot decode left the process unable to
+            # device_put even 8 MB), so a try/fallback cannot recover.
+            frames = _decode_jit(self.vae, resolve(self.vae_params),
+                                 jnp.asarray(latents_host),
+                                 self.vae.scaling_factor, mesh=self.mesh)
+            frames.block_until_ready()
             release(self.vae_params)
         return frames
 
@@ -591,8 +549,11 @@ def _decode_jit(vae, vae_params, latents, scaling_factor, mesh=None):
     the up-blocks spatially (per-device activations shrink by dp*sp, so a
     slice usually skips the strip tiling entirely)."""
     z = latents.astype(jnp.float32) / scaling_factor
+    divisor = 1
     if mesh is not None:
         z = jax.device_put(z, NamedSharding(
             mesh, PartitionSpec(None, None, "dp", "sp", None)))
-    frames = vae_decode_auto(vae, vae_params, z.astype(vae.dtype)).astype(jnp.float32)
+        divisor = mesh.size  # GSPMD shards the up-block activations
+    frames = vae_decode_auto(vae, vae_params, z.astype(vae.dtype),
+                             peak_divisor=divisor).astype(jnp.float32)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
