@@ -88,10 +88,15 @@ def main():
     ex = jnp.zeros((1, 1, 8, 8, 3), dtype)
     vparams = synth(vae, (ex,), dtype)
 
+    from trajectorycrafter_tpu.models.vae import vae_decode_auto
+
     lat = jnp.zeros((1, (f_pix - 1) // 4 + 1, hh // 8, ww // 8, 16), dtype)
     print("# measuring vae_decode...", file=sys.stderr, flush=True)
+    # vae_decode_auto is the production path: at 49f@384x672 it strips the
+    # decode (the one-shot program peaks ~11 GB and only fits an otherwise
+    # empty chip -- the pipeline decodes right after the denoise stage).
     result["vae_decode_s"] = round(
-        timeit(lambda p, z: vae_decode(vae, p, z), vparams, lat), 3)
+        timeit(lambda p, z: vae_decode_auto(vae, p, z), vparams, lat), 3)
 
     vid = jnp.zeros((1, f_pix, hh, ww, 3), dtype)
     refv = jnp.zeros((1, ref_pix, hh, ww, 3), dtype)
@@ -239,6 +244,16 @@ def main():
         # persist for bench.py's video estimate (keeps the aggregate in sync
         # with the latest stage measurements instead of a baked-in constant)
         result["non_denoise_s"] = round(non_denoise, 1)
+        # empty-chip ONE-SHOT 384x672 decode as a secondary metric (tiled
+        # overhead = vae_decode_s - this).  LAST on purpose: a mid-run
+        # RESOURCE_EXHAUSTED poisons the backend for the whole process, so
+        # nothing may run after a failed attempt.
+        print("# measuring vae_decode one-shot...", file=sys.stderr, flush=True)
+        try:
+            result["vae_decode_oneshot_s"] = round(
+                timeit(lambda p, z: vae_decode(vae, p, z), vparams, lat), 3)
+        except Exception as e:
+            result["vae_decode_oneshot_s"] = f"failed: {str(e)[:60]}"
         with open("bench_stages.json", "w") as f:
             json.dump(result, f)
     print(json.dumps(result))
