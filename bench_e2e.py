@@ -38,14 +38,41 @@ import jax.numpy as jnp
 
 from bench import synth_params
 
+# wall-clock per stage, accumulated across one orchestrated video (reset
+# between the cold and warm runs so the committed breakdown is warm-run)
+STAGE_T = {}
+
+
+def _timed(name, fn):
+    def wrapped(*a, **k):
+        t0 = time.time()
+        out = fn(*a, **k)
+        STAGE_T[name] = STAGE_T.get(name, 0.0) + time.time() - t0
+        return out
+    return wrapped
+
+
+class _TimedPipeline:
+    """Times __call__, delegates attribute access (orchestrator reads
+    pipeline.vae.latent_channels)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __call__(self, *a, **k):
+        return _timed("diffusion", self._inner)(*a, **k)
+
+    def __getattr__(self, n):
+        return getattr(self._inner, n)
+
 
 def staged_synth(model, example_args, dtype, name, seed):
     """StageParams that synthesises production-shape params on device."""
     from trajectorycrafter_tpu.utils.offload import StageParams
 
     return StageParams(
-        materialize=lambda: synth_params(
-            model, example_args, jax.random.PRNGKey(seed), dtype),
+        materialize=_timed(f"synth_{name}", lambda: synth_params(
+            model, example_args, jax.random.PRNGKey(seed), dtype)),
         offload=True, name=name,
     )
 
@@ -138,9 +165,9 @@ def build_full_scale_bundle(cfg, dtype=jnp.bfloat16):
     )
 
     return ModelBundle(
-        pipeline=pipeline,
-        depth_infer=DepthCrafterDemo(depth_pipe).infer,
-        encode_prompt=encode_prompt,
+        pipeline=_TimedPipeline(pipeline),
+        depth_infer=_timed("depth", DepthCrafterDemo(depth_pipe).infer),
+        encode_prompt=_timed("t5_encode", encode_prompt),
         get_caption=lambda frame: cfg.diffusion.prompt or "a scene",
     )
 
@@ -291,9 +318,23 @@ def main():
 
     # warm run: compiles cached; still pays the per-video stage offload
     # reloads (here: on-device re-synthesis standing in for the host push)
+    STAGE_T.clear()
     t0 = time.time()
     crafter.infer_gradual()
     e2e_s = time.time() - t0
+    breakdown = {k: round(v, 1) for k, v in sorted(STAGE_T.items())}
+    synth_total = sum(v for k, v in STAGE_T.items() if k.startswith("synth_"))
+    top_level = (STAGE_T.get("depth", 0.0) + STAGE_T.get("t5_encode", 0.0)
+                 + STAGE_T.get("diffusion", 0.0))
+    breakdown["other_host_warp_io"] = round(e2e_s - top_level, 1)
+    breakdown["note"] = (
+        "synth_* times are NESTED inside their stage (synth_dit/synth_vae "
+        "in diffusion, synth_svd_*/synth_clip in depth, synth_t5 in "
+        "t5_encode): the per-video on-device regeneration of the offloaded "
+        f"synthetic params ({synth_total:.0f}s total) stands in for the "
+        "host->device push of converted weights in production (PCIe-fast "
+        "on real hardware, minutes of small dispatches through this relay)")
+    print(f"# warm breakdown: {json.dumps(breakdown)}", file=sys.stderr)
 
     result = {
         "metric": "e2e_sec_per_video",
@@ -306,6 +347,7 @@ def main():
         "offload": cfg.offload,
         "quant": cfg.diffusion.quant,
         "cold_first_video_s": round(cold_s, 1),
+        "stage_breakdown_warm_s": breakdown,
     }
     if not small:
         result["e2e_sec_per_video_384x672_orchestrated"] = round(e2e_s, 1)
