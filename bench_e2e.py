@@ -197,8 +197,9 @@ def make_cfg(small: bool, quant=None, save_dir=None):
     from trajectorycrafter_tpu.config import TrajCrafterConfig
 
     cfg = TrajCrafterConfig()
-    if quant:
-        cfg.diffusion.quant = quant  # DiT GEMMs on the int8 MXU
+    # pin explicitly either way: the bench's bf16 legs must stay bf16 even
+    # though the config default flipped to int8 (round 5, gate passed)
+    cfg.diffusion.quant = quant if quant else "none"
     cfg.video_path = synth_input_video("/tmp/bench_e2e_input.mp4")
     cfg.save_dir = save_dir
     cfg.diffusion.prompt = "a slowly drifting abstract gradient scene"

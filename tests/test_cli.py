@@ -18,7 +18,9 @@ def parse(*argv):
 def test_defaults_roundtrip():
     cfg = parse("--video_path", "v.mp4")
     assert cfg.offload == "auto"
-    assert cfg.diffusion.quant == "none"
+    # int8 DiT GEMMs are the default since the round-5 same-seed quality
+    # gate passed (bench_int8_ab.json); --quant none opts back into bf16
+    assert cfg.diffusion.quant == "int8"
     assert (cfg.parallel.dp, cfg.parallel.sp, cfg.parallel.tp) == (1, 1, 1)
     assert cfg.save_dir.endswith(cfg.exp_name)
 
@@ -43,12 +45,12 @@ def test_cpu_offload_alias_maps_to_stage():
 
 def test_mesh_and_quant_plumbing():
     cfg = parse("--video_path", "v.mp4", "--mesh_dp", "2", "--mesh_sp", "2",
-                "--mesh_tp", "2", "--quant", "int8")
+                "--mesh_tp", "2", "--quant", "none")
     assert (cfg.parallel.dp, cfg.parallel.sp, cfg.parallel.tp) == (2, 2, 2)
-    assert cfg.diffusion.quant == "int8"
+    assert cfg.diffusion.quant == "none"  # bf16 opt-out stays available
     assert cfg.depth.quant == "none"  # separate decision, separate flag
     cfg = parse("--video_path", "v.mp4", "--quant_depth", "int8")
-    assert cfg.depth.quant == "int8" and cfg.diffusion.quant == "none"
+    assert cfg.depth.quant == "int8" and cfg.diffusion.quant == "int8"
 
 
 def test_validate_rejects_bad_video_length(tmp_path):
