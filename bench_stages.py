@@ -164,36 +164,27 @@ def main():
     uparams = synth(unet, (zl_init, t, clip_init, added), dtype)
     ustep = jax.jit(lambda p, z: unet.apply({"params": p}, z, t, clip_emb, added))
     print("# measuring depth_unet...", file=sys.stderr, flush=True)
-    try:
-        result["depth_unet_step_s"] = round(timeit(ustep, uparams, zl), 3)
-        result["depth_attn_kernel"] = os.environ.get(
-            "TRAJCRAFTER_DEPTH_ATTN", "flash_max")
-    except Exception as e:
-        # never lose the stage artifact to a Mosaic regression in the new
-        # kernel: fall back to the stock running-max flash and say so
-        print(f"# default depth kernel failed ({str(e)[:120]}); "
-              "falling back to flash_stock", file=sys.stderr)
-        os.environ["TRAJCRAFTER_DEPTH_ATTN"] = "flash_stock"
-        ustep_fb = jax.jit(
-            lambda p, z: unet.apply({"params": p}, z, t, clip_emb, added))
-        result["depth_unet_step_s"] = round(timeit(ustep_fb, uparams, zl), 3)
-        result["depth_attn_kernel"] = "flash_stock (flash_max failed)"
-        os.environ.pop("TRAJCRAFTER_DEPTH_ATTN", None)
+    result["depth_unet_step_s"] = round(timeit(ustep, uparams, zl), 3)
+    result["depth_attn_kernel"] = os.environ.get(
+        "TRAJCRAFTER_DEPTH_ATTN", "flash_stock")
     result["depth_total_s"] = round(result["depth_unet_step_s"] * 5, 3)
 
-    # A/B the previous production kernel (stock running-max flash) so the
-    # flash_max flip is a measured decision, not an assumption (VERDICT r4
-    # next-steps #5).  Env var is read at trace time; the fresh jit closure
+    # A/B the round-5 two-pass TRUE-max exp2 kernel so its status stays a
+    # measured decision (VERDICT r4 next-steps #5: measured on chip
+    # 2026-08-21 at 2.006 vs 1.945 s/step stock -> REFUTED, stock stays the
+    # default).  Env var is read at trace time; the fresh jit closure
     # forces a retrace.
     if not small:
-        os.environ["TRAJCRAFTER_DEPTH_ATTN"] = "flash_stock"
+        os.environ["TRAJCRAFTER_DEPTH_ATTN"] = "flash_max"
         try:
-            ustep_stock = jax.jit(
+            ustep_max = jax.jit(
                 lambda p, z: unet.apply({"params": p}, z, t, clip_emb, added))
-            print("# measuring depth_unet flash_stock...", file=sys.stderr,
+            print("# measuring depth_unet flash_max...", file=sys.stderr,
                   flush=True)
-            result["depth_unet_step_stock_s"] = round(
-                timeit(ustep_stock, uparams, zl), 3)
+            result["depth_unet_step_maxpass_s"] = round(
+                timeit(ustep_max, uparams, zl), 3)
+        except Exception as e:
+            result["depth_unet_step_maxpass_s"] = f"failed: {str(e)[:60]}"
         finally:
             os.environ.pop("TRAJCRAFTER_DEPTH_ATTN", None)
 

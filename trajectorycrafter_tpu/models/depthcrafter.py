@@ -192,20 +192,23 @@ class CrossAttention(nn.Module):
         # must take a tiled flash path (the reference leans on xformers for
         # the same reason, models/infer.py:46).  NOT the DiT's fixed-bias
         # exp2 kernel -- that one is only exact for bounded (QK-normed)
-        # scores and this UNet has no QK-norm; instead the two-pass TRUE-max
-        # exp2 kernel (ops/pallas/flash_max.py), which keeps the MXU-offload
-        # structure and is exact for unbounded scores.  The stock
-        # running-max kernel remains selectable for A/B measurement
-        # (TRAJCRAFTER_DEPTH_ATTN=flash_stock, read at trace time;
-        # bench_stages.py measures both).  Tiny/cross shapes stay on the
-        # XLA einsum.
+        # scores and this UNet has no QK-norm.  The two-pass TRUE-max exp2
+        # kernel (ops/pallas/flash_max.py) was built as the round-5 attempt
+        # at the same MXU-offload structure for unbounded scores, and
+        # MEASURED SLOWER at the production depth shape: 2.006 vs 1.945
+        # s/step (bench_stages.json 2026-08-21) -- the extra QK^T pass costs
+        # more than the running-max VPU work it removes at d=64/Skv=9216.
+        # The stock running-max kernel therefore stays the default; the
+        # max-pass kernel remains selectable (TRAJCRAFTER_DEPTH_ATTN=
+        # flash_max, read at trace time; bench_stages.py measures both).
+        # Tiny/cross shapes stay on the XLA einsum.
         import os
 
         from trajectorycrafter_tpu.ops.attention import multi_head_attention
 
         s_kv = k.shape[1]
         on_tpu = jax.devices()[0].platform != "cpu"
-        flash = os.environ.get("TRAJCRAFTER_DEPTH_ATTN", "flash_max")
+        flash = os.environ.get("TRAJCRAFTER_DEPTH_ATTN", "flash_stock")
         impl = flash if (on_tpu and s * s_kv >= 1024 * 1024) else "xla"
         out = multi_head_attention(q, k, v, scale=self.head_dim**-0.5,
                                    impl=impl)

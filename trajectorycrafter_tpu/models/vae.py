@@ -623,7 +623,11 @@ def vae_decode_auto(
     model: AutoencoderKLCogVideoX,
     params,
     latents: jnp.ndarray,  # (B, T_lat, H/8, W/8, C)
-    strip_height: int = 28,
+    # 24, NOT 28: the (28, 84)-latent strip hits a measured XLA/Mosaic
+    # pathology on v5e -- 59.9 s vs 1.4 s for (24, 84), 1.7 s for (28, 88),
+    # 2.5 s for (28, 128) (chip probe 2026-08-21).  24-high strips decode
+    # normally at every production width.
+    strip_height: int = 24,
     peak_divisor: int = 1,
 ) -> jnp.ndarray:
     """Decode, switching to spatially tiled strips when the one-shot
