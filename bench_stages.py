@@ -99,7 +99,12 @@ def main():
     # program fuses every strip plus the blend and the compile-time temp
     # analysis overflows HBM; production dispatches strips one by one.
     def time_decode(fn, z, iters=2):
-        jax.block_until_ready(fn(vparams, z))  # warm compiles
+        # warm with a VALUE FETCH, not block_until_ready: through the axon
+        # relay block_until_ready can return before remote compiles finish,
+        # and the first timed iteration then absorbs minutes of compile
+        # (this exact artifact produced a bogus 106.9s tiled-decode reading
+        # on 2026-08-21; steady-state is ~3.2s)
+        np.asarray(fn(vparams, z)[0, 0, 0, :3])
         t0 = time.time()
         for _ in range(iters):
             out = fn(vparams, z)
@@ -128,11 +133,8 @@ def main():
         from trajectorycrafter_tpu.models.vae import vae_decode_auto
 
         dec576 = lambda p, z: vae_decode_auto(vae, p, z)
-        jax.block_until_ready(dec576(vparams, lat576))  # warm tile compiles
-        t0 = time.time()
-        jax.block_until_ready(dec576(vparams, lat576))
-        np.asarray(jax.tree_util.tree_leaves(dec576(vparams, lat576))[0][0, 0, 0, :3])
-        result["vae_decode_576x1024_s"] = round((time.time() - t0) / 2, 3)
+        result["vae_decode_576x1024_s"] = round(
+            time_decode(dec576, lat576), 3)
         vid576 = jnp.zeros((1, 49, 576, 1024, 3), dtype)
         ref576 = jnp.zeros((1, 10, 576, 1024, 3), dtype)
         print("# measuring vae_encode 576x1024...", file=sys.stderr, flush=True)

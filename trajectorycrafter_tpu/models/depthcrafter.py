@@ -195,12 +195,14 @@ class CrossAttention(nn.Module):
         # scores and this UNet has no QK-norm.  The two-pass TRUE-max exp2
         # kernel (ops/pallas/flash_max.py) was built as the round-5 attempt
         # at the same MXU-offload structure for unbounded scores, and
-        # MEASURED SLOWER at the production depth shape: 2.006 vs 1.945
-        # s/step (bench_stages.json 2026-08-21) -- the extra QK^T pass costs
-        # more than the running-max VPU work it removes at d=64/Skv=9216.
-        # The stock running-max kernel therefore stays the default; the
-        # max-pass kernel remains selectable (TRAJCRAFTER_DEPTH_ATTN=
-        # flash_max, read at trace time; bench_stages.py measures both).
+        # measured at PARITY WITHIN NOISE at the production depth shape
+        # (two chip runs 2026-08-21: stock 1.945/2.047 vs max-pass
+        # 2.006/2.005 s/step, bench_stages.json) -- the extra QK^T pass
+        # costs about what the running-max VPU work it removes saves at
+        # d=64/Skv=9216, so there is no win to take.  The stock running-max
+        # kernel stays the default (fewer passes, simpler); the max-pass
+        # kernel remains selectable (TRAJCRAFTER_DEPTH_ATTN=flash_max, read
+        # at trace time; bench_stages.py measures both every run).
         # Tiny/cross shapes stay on the XLA einsum.
         import os
 

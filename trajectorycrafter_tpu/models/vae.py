@@ -623,10 +623,12 @@ def vae_decode_auto(
     model: AutoencoderKLCogVideoX,
     params,
     latents: jnp.ndarray,  # (B, T_lat, H/8, W/8, C)
-    # 24, NOT 28: the (28, 84)-latent strip hits a measured XLA/Mosaic
-    # pathology on v5e -- 59.9 s vs 1.4 s for (24, 84), 1.7 s for (28, 88),
-    # 2.5 s for (28, 128) (chip probe 2026-08-21).  24-high strips decode
-    # normally at every production width.
+    # Steady-state chip probes 2026-08-21: strips of 24 decode the 48x84
+    # grid in 3.19 s total (vs 2.85 s one-shot -- 12% tiling overhead) and
+    # divide the production latent heights (48, 72) more evenly than 28.
+    # (An earlier "28-strip pathology" reading of 59.9 s was a measurement
+    # artifact: block_until_ready returns early through the axon relay, so
+    # the first timed iteration absorbed the remote strip compiles.)
     strip_height: int = 24,
     peak_divisor: int = 1,
 ) -> jnp.ndarray:
