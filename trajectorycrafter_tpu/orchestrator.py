@@ -39,7 +39,7 @@ from trajectorycrafter_tpu.geometry.trajectory import (
 )
 from trajectorycrafter_tpu.models.dit import CrossTransformer3DModel
 from trajectorycrafter_tpu.models.vae import AutoencoderKLCogVideoX
-from trajectorycrafter_tpu.ops.resize import resize_nearest
+from trajectorycrafter_tpu.ops.resize import resize_linear, resize_nearest
 from trajectorycrafter_tpu.ops.splat import forward_warp_batch
 from trajectorycrafter_tpu.pipelines.trajcrafter import TrajCrafterPipeline
 from trajectorycrafter_tpu.schedulers import SCHEDULER_REGISTRY
@@ -248,6 +248,41 @@ class TrajCrafter:
             window_size=cfg.depth.window_size, overlap=cfg.depth.overlap,
         ))
 
+    def _device_frames_pm1(self, frames: np.ndarray) -> jnp.ndarray:
+        """Push video-read frames to device as uint8, expand to [-1, 1] there.
+
+        Lossless: read_video_frames decodes 8-bit video, so frames==u8/255
+        exactly and the round trip recovers the same fp32 values -- at 1/4
+        the host->device bytes (0.65 GB -> 0.16 GB per 49f@576x1024 clip;
+        through the axon relay that transfer is seconds, and it is PCIe
+        traffic in production)."""
+        u8 = jnp.asarray(
+            np.round(np.asarray(frames, np.float32) * 255.0).astype(np.uint8))
+        return u8.astype(jnp.float32) / 127.5 - 1.0
+
+    def _fetch_cond(self, warped, masks):
+        """Resize warp outputs to sample_size ON DEVICE, fetch as uint8.
+
+        The full-res warped render + mask are 0.87 GB fp32 per 49f
+        @576x1024 video; everything downstream (render/mask mp4s + the
+        diffusion conditioning) runs at sample_size, so resize before the
+        device->host fetch and quantize to uint8 (~55 MB).  resize_linear
+        matches the cv2.INTER_LINEAR the host path used (torch bilinear
+        half-pixel); the <=1/255 quantization is far below the pipeline's
+        noise_aug_strength 0.0563 and matches what render.mp4 stores
+        anyway.  Measured round 5: host/IO overhead of the orchestrated
+        video dominated by these transfers through the relay."""
+        hs, ws = self.cfg.diffusion.sample_size
+        w01 = jnp.clip((warped + 1.0) * 0.5, 0.0, 1.0)
+        w_s = jnp.moveaxis(
+            resize_linear(jnp.moveaxis(w01, -1, 1), (hs, ws)), 1, -1)
+        w_u8 = jnp.round(jnp.clip(w_s, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        m_s = resize_nearest(
+            jnp.asarray(masks, jnp.float32)[:, None], (hs, ws))[:, 0]
+        m_u8 = jnp.round(jnp.clip(m_s, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return (np.asarray(w_u8).astype(np.float32) / 255.0,
+                np.asarray(m_u8).astype(np.float32) / 255.0)
+
     def _diffuse_and_save(self, frames, cond_video, cond_masks, prompt,
                           ref_slice=slice(0, None), save_skip: int = 0):
         """Resize to sample_size, save artefacts, run diffusion, save outputs.
@@ -270,16 +305,23 @@ class TrajCrafter:
         import cv2
 
         def resize_video(v):
+            v = np.asarray(v, np.float32)
+            if v.shape[1:3] == (hs, ws):  # pre-resized on device (_fetch_cond)
+                return v
             return np.stack([
-                cv2.resize(np.asarray(fr), (ws, hs), interpolation=cv2.INTER_LINEAR)
-                for fr in np.asarray(v, np.float32)
+                cv2.resize(fr, (ws, hs), interpolation=cv2.INTER_LINEAR)
+                for fr in v
             ])
 
         frames_s = resize_video(frames)
         cond_s = resize_video(cond_video)
-        masks_s = np.asarray(
-            resize_nearest(jnp.asarray(np.asarray(cond_masks))[:, None], (hs, ws))
-        )[:, 0]
+        cond_masks = np.asarray(cond_masks, np.float32)
+        if cond_masks.shape[1:3] == (hs, ws):
+            masks_s = cond_masks
+        else:
+            masks_s = np.asarray(
+                resize_nearest(jnp.asarray(cond_masks)[:, None], (hs, ws))
+            )[:, 0]
 
         os.makedirs(cfg.save_dir, exist_ok=True)
         # queue the condition mp4s on a background thread: the h264 encodes
@@ -343,11 +385,11 @@ class TrajCrafter:
         depths = self._estimate_depth(frames)
         pose_s, pose_t, K = self.get_poses(depths, cfg.video_length)
         warped, masks, _, _ = forward_warp_batch(
-            jnp.asarray(frames * 2.0 - 1.0), jnp.asarray(depths[:, 0]),
+            self._device_frames_pm1(frames), jnp.asarray(depths[:, 0]),
             pose_s, pose_t, K, use_mask_clean=cfg.render.mask, mesh=self.mesh,
         )
-        cond = (np.asarray(warped) + 1.0) / 2.0
-        return self._diffuse_and_save(frames, cond, np.asarray(masks), prompt,
+        cond_s, masks_s = self._fetch_cond(warped, masks)
+        return self._diffuse_and_save(frames, cond_s, masks_s, prompt,
                                       ref_slice=slice(0, cfg.diffusion.ref_frames))
 
     def infer_direct(self, cut: int = 20):
@@ -365,15 +407,15 @@ class TrajCrafter:
         src_idx = np.array([0 if i < cut else i - cut for i in range(n)])
         tgt_idx = np.array([i if i < cut else cut - 1 for i in range(n)])
         warped, masks, _, _ = forward_warp_batch(
-            jnp.asarray(frames * 2.0 - 1.0)[src_idx],
+            self._device_frames_pm1(frames)[src_idx],
             jnp.asarray(depths[:, 0])[src_idx],
             jnp.tile(pose_s[0:1], (n, 1, 1)),
             pose_t[tgt_idx],
             jnp.tile(K[0:1], (n, 1, 1)),
             use_mask_clean=cfg.render.mask, mesh=self.mesh,
         )
-        cond = (np.asarray(warped) + 1.0) / 2.0
-        return self._diffuse_and_save(frames, cond, np.asarray(masks), prompt,
+        cond_s, masks_s = self._fetch_cond(warped, masks)
+        return self._diffuse_and_save(frames, cond_s, masks_s, prompt,
                                       ref_slice=slice(0, cfg.diffusion.ref_frames),
                                       save_skip=cut)
 
@@ -387,15 +429,15 @@ class TrajCrafter:
         n = cfg.video_length
         # frozen last frame, orbiting camera (reference demo.py:329-341)
         warped, masks, _, _ = forward_warp_batch(
-            jnp.tile(jnp.asarray(frames * 2.0 - 1.0)[-1:], (n, 1, 1, 1)),
+            jnp.tile(self._device_frames_pm1(frames)[-1:], (n, 1, 1, 1)),
             jnp.tile(jnp.asarray(depths[:, 0])[-1:], (n, 1, 1)),
             jnp.tile(pose_s[0:1], (n, 1, 1)),
             pose_t,
             jnp.tile(K[0:1], (n, 1, 1)),
             use_mask_clean=cfg.render.mask, mesh=self.mesh,
         )
-        cond = (np.asarray(warped) + 1.0) / 2.0
-        return self._diffuse_and_save(frames, cond, np.asarray(masks), prompt,
+        cond_s, masks_s = self._fetch_cond(warped, masks)
+        return self._diffuse_and_save(frames, cond_s, masks_s, prompt,
                                       ref_slice=slice(-cfg.diffusion.ref_frames, None))
 
     def infer_zoom(self, f_new: float = 250.0):
@@ -407,9 +449,9 @@ class TrajCrafter:
         pose_s, pose_t, K = self.get_poses(depths, cfg.video_length, f_new=f_new)
         K1 = jnp.tile(K[0:1], (cfg.video_length, 1, 1))
         warped, masks, _, _ = forward_warp_batch(
-            jnp.asarray(frames * 2.0 - 1.0), jnp.asarray(depths[:, 0]),
+            self._device_frames_pm1(frames), jnp.asarray(depths[:, 0]),
             pose_s, pose_t, K1, K, use_mask_clean=cfg.render.mask, mesh=self.mesh,
         )
-        cond = (np.asarray(warped) + 1.0) / 2.0
-        return self._diffuse_and_save(frames, cond, np.asarray(masks), prompt,
+        cond_s, masks_s = self._fetch_cond(warped, masks)
+        return self._diffuse_and_save(frames, cond_s, masks_s, prompt,
                                       ref_slice=slice(0, cfg.diffusion.ref_frames))
