@@ -361,7 +361,11 @@ class TrajCrafter:
             noise_aug_strength=cfg.diffusion.noise_aug_strength,
             steps_per_dispatch=cfg.diffusion.steps_per_dispatch,
         )
-        gen = np.asarray(sample[0])  # (F, H, W, 3) in [0, 1]
+        # fetch as uint8: mp4 writes quantize to 8 bits anyway, so the
+        # values are identical at 1/4 the device->host bytes
+        gen = np.asarray(
+            jnp.round(jnp.clip(sample[0], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        ).astype(np.float32) / 255.0  # (F, H, W, 3) in [0, 1]
         saves.join()
         save_video(gen[save_skip:] if save_skip else gen,
                    os.path.join(cfg.save_dir, "gen.mp4"), fps=cfg.fps)
