@@ -128,7 +128,6 @@ def synth_params(model, example_args, key, dtype):
         lambda *a: model.init(jax.random.PRNGKey(0), *a), *example_args
     )["params"]
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(key, len(leaves))
 
     def make(k, s):
         if s.dtype == jnp.int8:
@@ -138,9 +137,16 @@ def synth_params(model, example_args, key, dtype):
             return jnp.full(s.shape, 2e-4, jnp.float32)
         return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
 
-    return jax.tree_util.tree_unflatten(
-        treedef, [jax.jit(make, static_argnums=1)(k, s) for k, s in zip(keys, leaves)]
-    )
+    # ONE jit program for the whole tree: per-leaf dispatch was ~700 remote
+    # round trips through the axon relay (measured 13-83 s per stage
+    # resynthesis, dominating the orchestrated-bench variance); a single
+    # program materializes the same tree in one execution
+    @jax.jit
+    def make_all(k):
+        ks = jax.random.split(k, len(leaves))
+        return [make(ki, s) for ki, s in zip(ks, leaves)]
+
+    return jax.tree_util.tree_unflatten(treedef, make_all(key))
 
 
 def virtual_mesh_main(n_devices: int = 8):
