@@ -548,20 +548,30 @@ def main():
             "environment")
         # single ORCHESTRATED end-to-end run (bench_e2e.py: full-scale
         # synthetic weights, stage offload, all five mp4 outputs)
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "bench_e2e.json")) as f:
-                result["e2e_sec_per_video_384x672_orchestrated"] = float(
-                    json.load(f)["value"])
-        except Exception:
-            pass
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "bench_e2e_int8.json")) as f:
-                result["e2e_sec_per_video_384x672_orchestrated_int8"] = float(
-                    json.load(f)["value"])
-        except Exception:
-            pass
+        def fold_e2e(fname, suffix):
+            try:
+                with open(os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), fname)) as f:
+                    e2e = json.load(f)
+                result["e2e_sec_per_video_384x672_orchestrated"
+                       + suffix] = float(e2e["value"])
+                # the per-video on-device param re-synthesis is a synthetic-
+                # bench artifact (production pushes converted weights over
+                # PCIe in seconds); the excl figure is the production-
+                # equivalent orchestrated time and is far less noisy (the
+                # relay's synth dispatch cost varies ~2-6x between runs)
+                bd = e2e.get("stage_breakdown_warm_s", {})
+                synth = sum(v for k, v in bd.items()
+                            if k.startswith("synth_")
+                            and isinstance(v, (int, float)))
+                if synth:
+                    result["e2e_excl_resynthesis_s" + suffix] = round(
+                        float(e2e["value"]) - synth, 1)
+            except Exception:
+                pass
+
+        fold_e2e("bench_e2e.json", "")
+        fold_e2e("bench_e2e_int8.json", "_int8")
         # measured 2-segment autoregressive run (bench_e2e.py --autoregressive)
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
